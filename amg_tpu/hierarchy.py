@@ -1,0 +1,327 @@
+"""AMG hierarchy: setup driver and device-resident level containers.
+
+Host setup (this module's :func:`setup`) replicates the control flow of the
+reference's ``SSS_amg_setup`` (amg/Setup/SSS_SETUP.cu:36-178): loop
+coarsening -> interpolation -> R = P^T -> Galerkin RAP, with the same four
+break checks and warnings.  The result is then packed once into device
+pytrees (:class:`Level` / :class:`Hierarchy`) with static shapes, so the
+entire solve phase runs under ``jit`` with zero host<->device traffic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .params import AMGParams, CoarsenType, InterpType, MIN_CDOF
+from .sparse import CSR, Ell, _round_up
+from .setup.strength import strength_matrix
+from .setup.cf_split import rs_split, pmis_split, clean_ff_couplings
+from .setup.interp import build_interpolation
+from .setup.coloring import build_groups
+from .ops.spgemm import rap
+
+
+# ---------------------------------------------------------------------------
+# Device containers
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Level:
+    """One device-resident grid level.
+
+    Leaves are device arrays; ``shape`` info and group CF tags are static so
+    the container can cross ``jit`` boundaries.  The coarsest level has
+    ``p = r = None`` and the hierarchy holds a dense inverse for it.
+    """
+
+    a: Ell
+    p: Optional[Ell]            # prolongation from level l+1 to l
+    r: Optional[Ell]            # restriction  from level l to l+1
+    inv_diag: jnp.ndarray       # (pad,) 1/a_ii, 0 where |a_ii| tiny
+    l1_inv: jnp.ndarray         # (pad,) 1/sum_j |a_ij|
+    diag_mask: jnp.ndarray      # (pad, w) bool marking diagonal slots
+    groups: jnp.ndarray         # (ng, gs) int32 GS groups, padded with pad
+    rho_dinv_a: jnp.ndarray     # scalar spectral-radius estimate of D^-1 A
+    group_cf: Tuple[int, ...]   # static: 1 if group holds C points
+
+    def tree_flatten(self):
+        leaves = (self.a, self.p, self.r, self.inv_diag, self.l1_inv,
+                  self.diag_mask, self.groups, self.rho_dinv_a)
+        return leaves, (self.group_cf,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, group_cf=aux[0])
+
+    @property
+    def n(self) -> int:
+        return self.a.n_rows
+
+    @property
+    def pad(self) -> int:
+        return self.a.padded_rows
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Hierarchy:
+    """The full device multigrid hierarchy (reference ``SSS_AMG``)."""
+
+    levels: Tuple[Level, ...]
+    coarse_inv: jnp.ndarray      # (pad_c, pad_c) dense inverse of coarsest A
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_inv), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+# ---------------------------------------------------------------------------
+# Host setup results (kept for printing / tests / distribution)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HostHierarchy:
+    """Host-side mirror of the hierarchy (CSR matrices + C/F markers)."""
+
+    a: list          # list[CSR], per level
+    p: list          # list[CSR], per level except coarsest
+    r: list
+    cfmark: list     # list[np.ndarray]
+    setup_seconds: float = 0.0
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.a)
+
+    def complexity(self) -> tuple[float, float]:
+        grid = sum(m.n_rows for m in self.a) / self.a[0].n_rows
+        op = sum(m.nnz for m in self.a) / max(self.a[0].nnz, 1)
+        return grid, op
+
+
+def complexity_print(hh: HostHierarchy) -> str:
+    """Level/complexity table with the reference's exact format
+    (``SSS_amg_complexity_print``, amg/Setup/SSS_SETUP.cu:5-34)."""
+    lines = []
+    lines.append("-----------------------------------------------------------")
+    lines.append("  Level   Num of rows   Num of nonzeros   Avg. NNZ / row   ")
+    lines.append("-----------------------------------------------------------")
+    for lvl, m in enumerate(hh.a):
+        avg = m.nnz / m.n_rows
+        lines.append("%5d %13d %17d %14.2f" % (lvl, m.n_rows, m.nnz, avg))
+    lines.append("-----------------------------------------------------------")
+    grid, op = hh.complexity()
+    lines.append("  Grid complexity = %.3f  |  Operator complexity = %.3f"
+                 % (grid, op))
+    lines.append("-----------------------------------------------------------")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+
+def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
+    """Build the CSR hierarchy on the host.
+
+    Control flow and warnings replicate ``SSS_amg_setup``
+    (amg/Setup/SSS_SETUP.cu:69-155) including its four break checks.
+    """
+    t0 = time.perf_counter()
+    min_cdof = max(pars.coarse_dof, MIN_CDOF)
+    max_lvls = pars.max_levels
+
+    mats = [a]
+    ps: list[CSR] = []
+    rs: list[CSR] = []
+    cfmarks: list[np.ndarray] = []
+    cs_type = pars.cs_type
+
+    lvl = 0
+    while mats[lvl].n_rows > min_cdof and lvl < max_lvls - 1:
+        al = mats[lvl]
+        s = strength_matrix(al, pars.strong_threshold, pars.max_row_sum)
+
+        failed = s.nnz <= 0
+        vec = None
+        col = 0
+        if not failed:
+            if cs_type == CoarsenType.RS:
+                vec, col = rs_split(s)
+            elif cs_type == CoarsenType.PMIS:
+                vec, col = pmis_split(s)
+            else:  # RSP falls back to RS (reference leaves RSP unimplemented,
+                   # amg/Setup/SSS_coarsen.c:741-743)
+                vec, col = rs_split(s)
+            if pars.interp_type == InterpType.DIR and col > 0:
+                col = clean_ff_couplings(s, vec, col)
+            failed = col <= 0
+
+        # Check 1: coarsening succeeded? (amg/Setup/SSS_SETUP.cu:78-89)
+        if failed:
+            if pars.verbose:
+                log("### WARNING: Could not find any C-variables!")
+                log(f"### WARNING: RS coarsening on level-{lvl} failed!")
+            break
+
+        # Check 2: coarse space too small (amg/Setup/SSS_SETUP.cu:92-98)
+        if col < min_cdof:
+            break
+
+        # Check 3: over-aggressive coarsening warning (:101-106)
+        if al.n_rows > col * 10 and pars.verbose:
+            log("### WARNING: Coarsening might be too aggressive!")
+            log(f"### WARNING: Lvl = {lvl} ,Fine level = {al.n_rows}, "
+                f"coarse level = {col}. Discard!")
+
+        # Fall back to RS when coarsening slows (:110)
+        if col * 1.5 > al.n_rows:
+            cs_type = CoarsenType.RS
+
+        cfmarks.append(vec.copy())
+
+        p = build_interpolation(al, s, vec, col, pars)
+        r = p.transpose()
+        ac = rap(r, al, p)
+
+        # Check 4: is the coarse matrix too dense? (:142-152)
+        # (replicates the reference's integer division on the fine matrix)
+        if al.nnz // al.n_rows > al.n_cols * 0.2:
+            if pars.verbose:
+                log("### WARNING: Coarse matrix is too dense!")
+                log(f"### WARNING: m = n = {al.n_cols}, nnz = {al.nnz}!")
+            break
+
+        ps.append(p)
+        rs.append(r)
+        mats.append(ac)
+        lvl += 1
+
+    hh = HostHierarchy(a=mats, p=ps, r=rs, cfmark=cfmarks)
+    hh.setup_seconds = time.perf_counter() - t0
+    return hh
+
+
+def _level_from_csr(
+    al: CSR,
+    p: Optional[CSR],
+    r: Optional[CSR],
+    cfmark: Optional[np.ndarray],
+    pad: int,
+    pad_coarse: Optional[int],
+    dtype,
+    pars: AMGParams,
+) -> Level:
+    from .params import SMALLFLOAT
+
+    a_ell = Ell.from_csr(al, dtype=dtype, pad_rows_to=pad)
+    p_ell = Ell.from_csr(p, dtype=dtype, pad_rows_to=pad) if p is not None else None
+    r_ell = (
+        Ell.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse)
+        if r is not None
+        else None
+    )
+
+    n = al.n_rows
+    diag = np.zeros(pad)
+    diag[:n] = al.diagonal_fast()
+    inv_diag = np.where(np.abs(diag) > SMALLFLOAT, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
+
+    l1 = np.zeros(pad)
+    rows = np.repeat(np.arange(n, dtype=np.int64), al.row_degrees)
+    np.add.at(l1, rows, np.abs(al.data))
+    l1_inv = np.where(l1 > SMALLFLOAT, 1.0 / np.where(l1 != 0, l1, 1.0), 0.0)
+
+    # diagonal slot mask on the padded ELL layout
+    cols_np = np.asarray(a_ell.cols)
+    vals_np = np.asarray(a_ell.vals)
+    row_ids = np.arange(a_ell.padded_rows)[:, None]
+    diag_mask = (cols_np == row_ids) & (vals_np != 0)
+    # rows whose stored diagonal is exactly 0 never mask (matches the
+    # reference treating only the stored first-match diagonal specially)
+
+    groups, group_cf = build_groups(al, cfmark, pad_to=pad)
+
+    # spectral radius of D^{-1} A via a few power iterations (host)
+    rng = np.random.default_rng(0)
+    v = rng.random(n)
+    rho = 1.0
+    dinv = inv_diag[:n]
+    for _ in range(12):
+        w = dinv * al.matvec(v)
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            break
+        rho = nw / max(np.linalg.norm(v), 1e-300)
+        v = w / nw
+    return Level(
+        a=a_ell,
+        p=p_ell,
+        r=r_ell,
+        inv_diag=jnp.asarray(inv_diag, dtype=dtype),
+        l1_inv=jnp.asarray(l1_inv, dtype=dtype),
+        diag_mask=jnp.asarray(diag_mask),
+        groups=jnp.asarray(groups, dtype=jnp.int32),
+        rho_dinv_a=jnp.asarray(rho, dtype=dtype),
+        group_cf=tuple(int(t) for t in group_cf),
+    )
+
+
+def to_device(hh: HostHierarchy, pars: AMGParams) -> Hierarchy:
+    """Pack the host hierarchy into device pytrees."""
+    dtype = jnp.dtype(pars.dtype)
+    nl = hh.num_levels
+    pads = [_round_up(max(m.n_rows, 1), 8) for m in hh.a]
+
+    levels = []
+    for l in range(nl):
+        p = hh.p[l] if l < nl - 1 else None
+        r = hh.r[l] if l < nl - 1 else None
+        cf = hh.cfmark[l] if l < len(hh.cfmark) else None
+        pad_coarse = pads[l + 1] if l < nl - 1 else None
+        levels.append(
+            _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype, pars)
+        )
+
+    # dense inverse of the coarsest operator (tiny: <= ~coarse_dof rows)
+    ac = hh.a[-1]
+    pad_c = pads[-1]
+    dense = np.zeros((pad_c, pad_c))
+    dense[: ac.n_rows, : ac.n_cols] += ac.to_dense()
+    try:
+        inv = np.linalg.inv(dense[: ac.n_rows, : ac.n_cols])
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(dense[: ac.n_rows, : ac.n_cols])
+    full = np.zeros((pad_c, pad_c))
+    full[: ac.n_rows, : ac.n_cols] = inv
+    return Hierarchy(
+        levels=tuple(levels), coarse_inv=jnp.asarray(full, dtype=dtype)
+    )
+
+
+def setup(a: CSR, pars: AMGParams, log=print) -> tuple[Hierarchy, HostHierarchy]:
+    """Full setup: host hierarchy + device pack, with reference-format
+    complexity table and timing print."""
+    hh = setup_host(a, pars, log=log)
+    mg = to_device(hh, pars)
+    if pars.verbose:
+        log(complexity_print(hh))
+        log(f"AMG setup time: {hh.setup_seconds:g} s")
+    return mg, hh

@@ -1,0 +1,4 @@
+from .matrix_market import read_mtx, write_mtx
+from .generators import poisson2d, poisson3d, random_spd
+
+__all__ = ["read_mtx", "write_mtx", "poisson2d", "poisson3d", "random_spd"]

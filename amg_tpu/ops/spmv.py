@@ -1,0 +1,58 @@
+"""Sparse matrix-vector products on device.
+
+The hot kernel of the whole framework (SURVEY.md section 3.5): the
+reference's CSR SpMV is a scalar row loop on CPU (``SSS_blas_mv_mxy``,
+amg/SSS_utils.c:182-201) and a thread-per-row CUDA kernel
+(``spmv_kernel``, amg/Solve/SSS_cuda.cu:77-96).
+
+TPU-native design: matrices live in padded ELL (:class:`amg_tpu.sparse.Ell`)
+so the product is
+
+    y[i] = sum_w vals[i, w] * x[cols[i, w]]
+
+a rectangular gather + multiply + small-axis reduction.  XLA lowers the
+gather to efficient dynamic-slices over VMEM tiles and fuses the multiply
+and reduction; the whole op is HBM-bandwidth bound, which is speed-of-light
+for SpMV.  There is no host<->device traffic per call (the reference copies
+A, x, y to the GPU on *every* SpMV, amg/Solve/SSS_cuda.cu:124-139).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse import Ell
+
+
+def spmv(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x. Returns a vector of length ``a.padded_rows`` (padding rows
+    produce zeros because their values are zero)."""
+    gathered = x[a.cols]                      # (pr, w) gather
+    y = jnp.sum(a.vals * gathered, axis=1)
+    return y
+
+
+def spmv_n(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x truncated to the logical row count."""
+    return spmv(a, x)[: a.n_rows]
+
+
+def amxpy(alpha, a: Ell, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """y + alpha * A @ x (reference SSS_blas_mv_amxpy, amg/SSS_utils.c:161)."""
+    return y + alpha * spmv(a, x)[: y.shape[0]]
+
+
+def residual(a: Ell, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """r = b - A @ x."""
+    return b - spmv(a, x)[: b.shape[0]]
+
+
+def spmv_offdiag_and_diag(a: Ell, x: jnp.ndarray, diag_mask: jnp.ndarray):
+    """Split product used by smoothers: returns (offdiag @ x, unchanged x).
+
+    ``diag_mask`` is a precomputed (pr, w) boolean marking diagonal slots.
+    """
+    gathered = x[a.cols]
+    vals = jnp.where(diag_mask, 0.0, a.vals)
+    return jnp.sum(vals * gathered, axis=1)

@@ -1,0 +1,168 @@
+"""Solver parameters, enums and error codes.
+
+Mirrors the behavioral surface of the reference's ``SSS_AMG_PARS`` struct and
+its enums (reference: ``amg/SSS_main.h:87-194``) and the CLI defaults set in
+``SSS_amg_pars_init`` (reference: ``amg/SSS_main.c:25-64``).  The design is a
+frozen dataclass (hashable, usable as a jit static argument) instead of a
+mutable C struct.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class SmootherType(enum.IntEnum):
+    """Smoother selection (reference enum ``SSS_SM_TYPE``, amg/SSS_main.h:133-145).
+
+    The reference declares nine smoothers but only GS is live in its dispatch
+    (amg/Solve/SSS_smooth.c:138-220).  Here every listed smoother is
+    implemented, plus TPU-native additions (L1-Jacobi, Chebyshev).
+    """
+
+    JACOBI = 1
+    GS = 2
+    SGS = 3
+    CG = 4          # reserved in reference; maps to Krylov-smoothing
+    SOR = 5
+    SSOR = 6
+    GSOR = 7
+    SGSOR = 8
+    POLY = 9
+    L1DIAG = 10
+    # TPU-native extensions (not in reference enum):
+    WJACOBI = 20    # weighted Jacobi (relax factor)
+    CHEBYSHEV = 21  # polynomial smoother tuned by spectral bounds
+
+
+class InterpType(enum.IntEnum):
+    """Interpolation scheme (reference ``interp_type``, amg/SSS_main.h:147-152)."""
+
+    DIR = 1   # direct interpolation
+    STD = 2   # standard (distance-2) interpolation
+
+
+class CoarsenType(enum.IntEnum):
+    """Coarsening scheme (reference ``SSS_COARSEN_TYPE``, amg/SSS_main.h:163-168).
+
+    RS / RSP follow the reference; PMIS is the TPU-parallel-friendly addition
+    used at scale (the reference's greedy RS queue is inherently serial).
+    """
+
+    RS = 1
+    RSP = 2
+    PMIS = 3
+
+
+class StopType(enum.IntEnum):
+    """Krylov stopping criterion (reference ``SSS_STOP_TYPE``, amg/SSS_main.h:87-93)."""
+
+    REL_RES = 1        # ||r|| / ||b||
+    REL_PRECRES = 2    # ||r||_B / ||b||_B
+    MOD_REL_RES = 3    # ||r|| / ||x||
+
+
+class CoarsestSolver(enum.IntEnum):
+    """Coarsest-level solver choice.
+
+    The reference hard-wires CG with a GMRES fallback
+    (amg/Solve/SSS_cycle.cu:819-846).  On TPU the idiomatic choice for a tiny
+    coarsest system is a dense direct solve (Cholesky/LU on the MXU), so that
+    is the default; KRYLOV reproduces reference behavior.
+    """
+
+    DENSE = 1     # densify + LU/Cholesky (TPU default)
+    KRYLOV = 2    # CG -> GMRES fallback (reference behavior)
+
+
+class ErrorCode(enum.IntEnum):
+    """Error codes (reference amg/SSS_main.h:37-63)."""
+
+    SUCCESS = 0
+    ERROR_OPEN_FILE = -10
+    ERROR_WRONG_FILE = -11
+    ERROR_INPUT_PAR = -13
+    ERROR_MAT_SIZE = -23
+    ERROR_MISC = -100
+    ERROR_SOLVER_TYPE = -201
+    ERROR_SOLVER_PRECTYPE = -202
+    ERROR_SOLVER_STAG = -203
+    ERROR_SOLVER_SOLSTAG = -204
+    ERROR_SOLVER_TOLSMALL = -205
+    ERROR_SOLVER_MAXIT = -208
+    ERROR_SOLVER_EXIT = -209
+    ERROR_SOLVER_MISC = -210
+    ERROR_AMG_INTERP_TYPE = -301
+    ERROR_AMG_SMOOTHER_TYPE = -302
+    ERROR_AMG_COARSE_TYPE = -303
+    ERROR_AMG_COARSEING = -304
+    ERROR_AMG_SETUP = -305
+    ERROR_UNKNOWN = -99
+
+
+# Reference constants (amg/SSS_main.h:16-32)
+MAX_AMG_LVL = 30
+MIN_CDOF = 10
+SMALLFLOAT = 1e-20
+BIGFLOAT = 1e20
+
+# C/F marker values (amg/SSS_main.h:24-32)
+FGPT = 0   # fine grid point
+CGPT = 1   # coarse grid point
+ISPT = 2   # isolated point
+UNPT = -1  # undecided point
+
+MAX_STAG = 20
+MAX_RESTART = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGParams:
+    """All solver parameters.
+
+    Defaults replicate the reference CLI defaults
+    (``SSS_amg_pars_init``, amg/SSS_main.c:25-64).
+    """
+
+    smoother: SmootherType = SmootherType.GS
+    max_it: int = 100
+    tol: float = 1e-6
+    ctol: float = 1e-7            # coarsest-level tolerance
+    max_levels: int = 30
+    coarse_dof: int = MIN_CDOF
+    cycle_type: int = 1           # 1 = V-cycle, 2 = W-cycle
+    cf_order: int = 1             # 0: natural order, 1: C/F order
+    pre_iter: int = 2
+    post_iter: int = 2
+    relax: float = 1.0            # SOR relaxation / weighted-Jacobi weight
+    poly_deg: int = 3
+    cs_type: CoarsenType = CoarsenType.RS
+    interp_type: InterpType = InterpType.DIR
+    max_row_sum: float = 0.9
+    strong_threshold: float = 0.3
+    trunc_threshold: float = 0.2
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    coarsest_solver: CoarsestSolver = CoarsestSolver.DENSE
+    stop_type: StopType = StopType.REL_RES
+    dtype: str = "float64"        # compute dtype for the solve phase
+    setup_dtype: str = "float64"  # host setup always runs f64
+    verbose: int = 1
+    # Multi-device settings
+    coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
+
+    def replace(self, **kw) -> "AMGParams":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass
+class SolveInfo:
+    """Return info (reference ``SSS_RTN``: ares, rres, nits)."""
+
+    ares: float = 0.0
+    rres: float = 0.0
+    nits: int = 0
+    residuals: list = dataclasses.field(default_factory=list)
+    setup_seconds: float = 0.0
+    solve_seconds: float = 0.0

@@ -1,0 +1,73 @@
+"""Strength-of-connection matrix.
+
+Replicates the behavior of the reference's ``strong_couplings`` +
+``compress_S`` (amg/Setup/SSS_coarsen.c:106-212), vectorized in numpy:
+
+For each row i of A:
+
+* ``row_sum = sum_j |a_ij|`` (all entries, diagonal included)
+* ``row_scl = strong_threshold * max_{j != i} |a_ij|``
+* the diagonal is never strong
+* if ``row_sum < (2 - max_row_sum) * |a_ii|`` the row is strongly
+  diagonally dominant and has **no** strong couplings
+* otherwise entry j is strong iff ``-a_ij > row_scl`` (only negative
+  couplings can be strong)
+
+The result is a compressed pattern-only CSR (no values), the analog of the
+reference's ``SSS_IMAT`` S.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..sparse import CSR
+
+
+def strength_matrix(
+    a: CSR, strong_threshold: float = 0.3, max_row_sum: float = 0.9
+) -> CSR:
+    """Return S: pattern CSR of strong couplings (data = ones)."""
+    n = a.n_rows
+    deg = a.row_degrees
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    absval = np.abs(a.data)
+    is_diag = a.indices == rows
+
+    # row_sum over all entries
+    row_sum = np.zeros(n)
+    np.add.at(row_sum, rows, absval)
+
+    # row_scl = max off-diagonal |a_ij|
+    offabs = np.where(is_diag, 0.0, absval)
+    row_scl = np.zeros(n)
+    np.maximum.at(row_scl, rows, offabs)
+    row_scl *= strong_threshold
+
+    # diagonal values (first occurrence per row, like SSS_mat_get_diag)
+    diag = np.zeros(n)
+    # reversed so the FIRST occurrence wins on duplicate diagonals
+    dr = rows[is_diag][::-1]
+    diag[dr] = a.data[is_diag][::-1]
+
+    dominant = row_sum < (2.0 - max_row_sum) * np.abs(diag)
+
+    strong = (
+        (~is_diag)
+        & (~dominant[rows])
+        & (-a.data > row_scl[rows])
+    )
+
+    keep_rows = rows[strong]
+    keep_cols = a.indices[strong]
+
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, keep_rows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    # entries already in row-major CSR order since `strong` preserves order
+    return CSR(
+        indptr,
+        keep_cols.astype(np.int32),
+        np.ones(len(keep_cols), dtype=np.float64),
+        (n, n),
+    )

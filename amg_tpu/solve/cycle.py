@@ -1,0 +1,68 @@
+"""Multigrid V/W-cycle, fully jittable.
+
+Replicates the reference's non-recursive counter/goto cycle
+(``SSS_amg_cycle``, amg/Solve/SSS_cycle.cu:848-967) as a recursion that
+unrolls at trace time: level count and shapes are static, so XLA sees one
+straight-line program of gathers, VPU arithmetic and (at the coarsest level)
+one small dense matmul on the MXU.  Per reference semantics, level 0 runs
+its block once per cycle call and deeper levels repeat their block
+``cycle_type`` times per parent visit (V=1, W=2).
+
+The coarsest solve is either a dense inverse apply (TPU default; the
+reference's coarsest grids are ~10-1000 rows) or reference-style CG with
+GMRES fallback (``SSS_amg_coarest_solve``, amg/Solve/SSS_cycle.cu:819-846).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import AMGParams, CoarsestSolver
+from ..hierarchy import Hierarchy
+from ..ops.spmv import spmv
+from .smoothers import smooth
+
+
+def coarsest_solve(mg: Hierarchy, b: jnp.ndarray, pars: AMGParams, ctol):
+    """Solve the coarsest system."""
+    if pars.coarsest_solver == CoarsestSolver.DENSE:
+        return mg.coarse_inv @ b
+    from .krylov import cg, gmres
+
+    level = mg.levels[-1]
+    n = level.n
+    # maxit = max(250, min(n*n, 1000)) (amg/Solve/SSS_cycle.cu:822)
+    maxit = max(250, min(n * n, 1000))
+    x0 = jnp.zeros_like(b)
+    x, ok = cg(level.a, b, x0, tol=ctol, maxit=maxit)
+    xg, _ = gmres(level.a, b, x0, tol=ctol, maxit=maxit, restart=30)
+    return jnp.where(ok, x, xg)
+
+
+def cycle(mg: Hierarchy, x: jnp.ndarray, b: jnp.ndarray, pars: AMGParams):
+    """One multigrid cycle on level 0. Returns updated x (padded length)."""
+    ctol = min(pars.ctol, pars.tol * 0.1) if pars.ctol > pars.tol else pars.ctol
+    return _cycle_level(mg, 0, x, b, pars, ctol)
+
+
+def _cycle_level(mg: Hierarchy, l: int, x, b, pars: AMGParams, ctol):
+    nl = mg.num_levels
+    if l == nl - 1:
+        return coarsest_solve(mg, b, pars, ctol)
+
+    level = mg.levels[l]
+    repeats = 1 if l == 0 else max(pars.cycle_type, 1)
+
+    for _ in range(repeats):
+        # pre-smoothing
+        x = smooth(level, x, b, pars, pars.pre_iter, pre=True)
+        # restrict residual
+        r = b - spmv(level.a, x)
+        bc = spmv(level.r, r)
+        xc = jnp.zeros_like(bc)
+        # coarse correction
+        xc = _cycle_level(mg, l + 1, xc, bc, pars, ctol)
+        x = x + spmv(level.p, xc)
+        # post-smoothing
+        x = smooth(level, x, b, pars, pars.post_iter, pre=False)
+    return x

@@ -1,0 +1,181 @@
+"""Outer AMG solve driver.
+
+Replicates the reference's two-layer driver:
+
+* ``SSS_solver_amg`` (amg/SSS_AMG.c:9-59): zero-rhs short circuit, sanity
+  checks, setup + solve + total-time print.
+* ``SSS_amg_solve`` (amg/Solve/SSS_SOLVE.c:4-87): cycle until
+  ``||r||/||b|| < tol`` or ``max_it``, printing the per-iteration residual
+  table (``SSS_print_itinfo``, amg/SSS_utils.c:104-133) with identical
+  formatting.
+
+Two execution modes:
+
+* :meth:`AMGSolver.solve` — host loop, one jitted cycle+residual step per
+  iteration, prints the residual table live (parity mode).
+* :meth:`AMGSolver.solve_jit` — the whole iteration in one
+  ``lax.while_loop`` under ``jit``: zero host<->device round trips, used for
+  benchmarking and embedding in larger jitted programs.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import AMGParams, SolveInfo, StopType
+from ..sparse import CSR
+from ..hierarchy import setup, Hierarchy
+from ..ops.spmv import spmv
+from ..ops.blas import norm2
+from .cycle import cycle
+
+
+def print_itinfo(stop_type, it, relres, absres, factor, log=print):
+    """Residual-table row, byte-compatible with the reference
+    (``SSS_print_itinfo``, amg/SSS_utils.c:104-133)."""
+    if it > 0:
+        log("%6d | %13.6e   | %13.6e  | %10.4f" % (it, relres, absres, factor))
+    else:
+        log("-----------------------------------------------------------")
+        if stop_type == StopType.REL_RES:
+            log("It Num |   ||r||/||b||   |     ||r||      |  Conv. Factor")
+        elif stop_type == StopType.REL_PRECRES:
+            log("It Num | ||r||_B/||b||_B |    ||r||_B     |  Conv. Factor")
+        else:
+            log("It Num |   ||r||/||x||   |     ||r||      |  Conv. Factor")
+        log("-----------------------------------------------------------")
+        log("%6d | %13.6e   | %13.6e  |     -.-- " % (it, relres, absres))
+
+
+class AMGSolver:
+    """Setup once, solve many times."""
+
+    def __init__(self, a: CSR, pars: AMGParams = AMGParams(), log=print):
+        if a.n_rows != a.n_cols:
+            raise ValueError("AMG requires a square matrix")
+        if a.nnz <= 0:
+            raise ValueError("matrix has no nonzeros")
+        self.a = a
+        self.pars = pars
+        self.log = log
+        self.mg, self.host_hierarchy = setup(a, pars, log=log)
+        self.pad = self.mg.levels[0].pad
+        self.dtype = jnp.dtype(pars.dtype)
+
+        mg = self.mg
+
+        def _step(x, b):
+            x = cycle(mg, x, b, pars)
+            r = b - spmv(mg.levels[0].a, x)
+            return x, norm2(r)
+
+        self._step = jax.jit(_step)
+
+        def _solve_full(x, b, sumb):
+            tol = pars.tol
+
+            def cond(c):
+                x, it, absres, hist = c
+                return (it < pars.max_it) & (absres / sumb >= tol)
+
+            def body(c):
+                x, it, absres, hist = c
+                x, absres = _step(x, b)
+                hist = hist.at[it + 1].set(absres)
+                return (x, it + 1, absres, hist)
+
+            hist = jnp.full((pars.max_it + 1,), jnp.nan, self.dtype)
+            hist = hist.at[0].set(sumb)
+            init = (x, jnp.zeros((), jnp.int32), sumb, hist)
+            x, nits, absres, hist = jax.lax.while_loop(cond, body, init)
+            return x, nits, absres, hist
+
+        self._solve_full = jax.jit(_solve_full)
+
+    # ------------------------------------------------------------------
+
+    def _pad_vec(self, v) -> jnp.ndarray:
+        out = np.zeros(self.pad, dtype=self.dtype)
+        out[: self.a.n_rows] = np.asarray(v, dtype=self.dtype)[: self.a.n_rows]
+        return jnp.asarray(out)
+
+    def solve(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
+        """Host-loop solve with live residual table (reference parity)."""
+        pars = self.pars
+        n = self.a.n_rows
+        bd = self._pad_vec(b)
+        xd = self._pad_vec(x0 if x0 is not None else np.zeros(n))
+
+        info = SolveInfo()
+        sumb = float(norm2(bd))
+        t0 = time.perf_counter()
+        if pars.verbose:
+            print_itinfo(pars.stop_type, 0, 1.0, sumb, 0.0, log=self.log)
+        if sumb == 0.0:
+            # reference zero-b short circuit (amg/Solve/SSS_SOLVE.c:41-46)
+            return np.zeros(n), info
+
+        absres0 = sumb
+        info.residuals.append(sumb)
+        for it in range(1, pars.max_it + 1):
+            xd, absres_d = self._step(xd, bd)
+            absres = float(absres_d)
+            relres = absres / sumb
+            factor = absres / absres0
+            absres0 = absres
+            if pars.verbose:
+                print_itinfo(pars.stop_type, it, relres, absres, factor,
+                             log=self.log)
+            info.ares, info.rres, info.nits = absres, relres, it
+            info.residuals.append(absres)
+            if relres < pars.tol:
+                break
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        if pars.verbose:
+            self.log(f"AMG solve time: {info.solve_seconds:g} s")
+        return np.asarray(xd[:n]), info
+
+    def solve_jit(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
+        """Fully-jitted solve (no per-iteration host sync)."""
+        n = self.a.n_rows
+        bd = self._pad_vec(b)
+        xd = self._pad_vec(x0 if x0 is not None else np.zeros(n))
+        sumb = norm2(bd)
+        t0 = time.perf_counter()
+        x, nits, absres, hist = self._solve_full(xd, bd, sumb)
+        x.block_until_ready()
+        dt = time.perf_counter() - t0
+
+        info = SolveInfo()
+        info.nits = int(nits)
+        info.ares = float(absres)
+        info.rres = float(absres) / max(float(sumb), 1e-300)
+        h = np.asarray(hist)
+        info.residuals = [float(v) for v in h[~np.isnan(h)]]
+        info.solve_seconds = dt
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        return np.asarray(x[:n]), info
+
+
+def solver_amg(a: CSR, x, b, pars: AMGParams = AMGParams(), log=print):
+    """One-shot functional API mirroring ``SSS_solver_amg`` (amg/SSS_AMG.c:9).
+
+    Returns ``(x, SolveInfo)``.
+    """
+    # zero-rhs short circuit before any setup (amg/SSS_AMG.c:23-30)
+    sumb = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+    if sumb == 0.0:
+        if pars.verbose:
+            print_itinfo(StopType.REL_RES, 0, 0.0, sumb, 0.0, log=log)
+        return np.zeros(a.n_rows), SolveInfo()
+    t0 = time.perf_counter()
+    solver = AMGSolver(a, pars, log=log)
+    x, info = solver.solve(b, x0=x)
+    if pars.verbose:
+        log(f"AMG totally time: {time.perf_counter() - t0:g} s")
+    return x, info

@@ -1,0 +1,279 @@
+"""Sparse matrix containers.
+
+Two worlds:
+
+* **Host**: :class:`CSR` — numpy compressed-sparse-row, used by the setup
+  phase (coarsening / interpolation / Galerkin product are irregular,
+  data-dependent-shape graph algorithms that belong on the host, exactly as
+  the reference runs them on the CPU — reference ``SSS_MAT``,
+  amg/SSS_main.h:95-105).
+
+* **Device**: :class:`Ell` — padded ELLPACK, a rectangular (rows x width)
+  layout with per-row column indices.  Static shapes and contiguous gathers
+  make it the natural TPU representation: SpMV becomes a dense gather +
+  multiply + row-reduction that XLA vectorizes onto the VPU, with no
+  data-dependent shapes under ``jit``.  This replaces the reference's
+  thread-per-CSR-row CUDA kernel (amg/Solve/SSS_cuda.cu:77-96).
+
+Rows are padded to the next multiple of 8 (f32 sublane) and the width to the
+actual max row degree; padding entries carry ``col = row`` (a self-reference,
+always a valid index) and ``val = 0`` so no masks are needed in compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Host CSR
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CSR:
+    """Host-side CSR matrix (int32 indices, float64 values)."""
+
+    indptr: np.ndarray   # (n_rows + 1,) int32/int64
+    indices: np.ndarray  # (nnz,) int32
+    data: np.ndarray     # (nnz,) float64
+    shape: Tuple[int, int]
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def from_coo(rows, cols, vals, shape, sum_duplicates: bool = True) -> "CSR":
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        if sum_duplicates and len(rows):
+            dup = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
+            if dup.any():
+                keep = np.concatenate([[True], ~dup])
+                grp = np.cumsum(keep) - 1
+                out_vals = np.zeros(keep.sum(), dtype=np.float64)
+                np.add.at(out_vals, grp, vals)
+                rows, cols, vals = rows[keep], cols[keep], out_vals
+        indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return CSR(indptr, cols.astype(np.int32), vals, tuple(shape))
+
+    @staticmethod
+    def from_dense(a: np.ndarray, tol: float = 0.0) -> "CSR":
+        a = np.asarray(a, dtype=np.float64)
+        rows, cols = np.nonzero(np.abs(a) > tol)
+        return CSR.from_coo(rows, cols, a[rows, cols], a.shape)
+
+    @staticmethod
+    def from_scipy(m) -> "CSR":
+        m = m.tocsr()
+        return CSR(
+            np.asarray(m.indptr, dtype=np.int64),
+            np.asarray(m.indices, dtype=np.int32),
+            np.asarray(m.data, dtype=np.float64),
+            tuple(m.shape),
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (self.data, self.indices, self.indptr), shape=self.shape
+        )
+
+    # -- basic properties ----------------------------------------------------
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    @property
+    def row_degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    # -- ops -----------------------------------------------------------------
+
+    def diagonal(self) -> np.ndarray:
+        """First-match diagonal per row (reference ``SSS_mat_get_diag``,
+        amg/SSS_matvec.c:162)."""
+        n = min(self.shape)
+        diag = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            seg = slice(self.indptr[i], self.indptr[i + 1])
+            hits = np.nonzero(self.indices[seg] == i)[0]
+            if hits.size:
+                diag[i] = self.data[self.indptr[i] + hits[0]]
+        return diag
+
+    def diagonal_fast(self) -> np.ndarray:
+        """Vectorized diagonal extraction."""
+        n = min(self.shape)
+        rows = np.repeat(
+            np.arange(self.n_rows, dtype=np.int64), self.row_degrees
+        )
+        mask = (self.indices == rows) & (rows < n)
+        diag = np.zeros(n, dtype=np.float64)
+        diag[rows[mask]] = self.data[mask]
+        return diag
+
+    def transpose(self) -> "CSR":
+        """Two-pass histogram transpose (reference ``SSS_mat_trans``,
+        amg/SSS_matvec.c:330-387) — vectorized."""
+        n_rows, n_cols = self.shape
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), self.row_degrees)
+        order = np.argsort(self.indices, kind="stable")
+        new_indptr = np.zeros(n_cols + 1, dtype=np.int64)
+        np.add.at(new_indptr, self.indices + 1, 1)
+        np.cumsum(new_indptr, out=new_indptr)
+        return CSR(
+            new_indptr,
+            rows[order].astype(np.int32),
+            self.data[order],
+            (n_cols, n_rows),
+        )
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """y = A @ x (host reference implementation; reference
+        ``SSS_blas_mv_mxy``, amg/SSS_utils.c:182-201)."""
+        rows = np.repeat(np.arange(self.n_rows, dtype=np.int64), self.row_degrees)
+        prod = self.data * x[self.indices]
+        y = np.zeros(self.n_rows, dtype=np.result_type(self.data, x))
+        np.add.at(y, rows, prod)
+        return y
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=np.float64)
+        rows = np.repeat(np.arange(self.n_rows, dtype=np.int64), self.row_degrees)
+        # duplicates (shouldn't exist) would overwrite; fine for tests
+        np.add.at(out, (rows, self.indices), self.data)
+        return out
+
+    def sort_indices(self) -> "CSR":
+        """Return a copy with column indices sorted within each row."""
+        indices = self.indices.copy()
+        data = self.data.copy()
+        for i in range(self.n_rows):
+            s, e = self.indptr[i], self.indptr[i + 1]
+            order = np.argsort(indices[s:e], kind="stable")
+            indices[s:e] = indices[s:e][order]
+            data[s:e] = data[s:e][order]
+        return CSR(self.indptr.copy(), indices, data, self.shape)
+
+    def copy(self) -> "CSR":
+        return CSR(
+            self.indptr.copy(), self.indices.copy(), self.data.copy(), self.shape
+        )
+
+
+# ---------------------------------------------------------------------------
+# Device ELL
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Ell:
+    """Padded ELLPACK matrix on device.
+
+    ``cols``/``vals`` have shape ``(padded_rows, width)``.  Padding slots
+    point at the row's own index with value 0 so gathers stay in bounds and
+    no masking is needed.  ``shape``/``nnz`` are static aux data so the
+    container can flow through ``jit``/``shard_map`` unimpeded.
+    """
+
+    cols: jnp.ndarray   # (pr, w) int32
+    vals: jnp.ndarray   # (pr, w) dtype
+    shape: Tuple[int, int]
+    nnz: int
+
+    # pytree protocol ------------------------------------------------------
+    def tree_flatten(self):
+        return (self.cols, self.vals), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, vals = children
+        shape, nnz = aux
+        return cls(cols, vals, shape, nnz)
+
+    # ----------------------------------------------------------------------
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1]
+
+    @staticmethod
+    def from_csr(
+        a: CSR,
+        dtype=jnp.float64,
+        row_multiple: int = 8,
+        width_multiple: int = 1,
+        pad_rows_to: int | None = None,
+    ) -> "Ell":
+        """Convert host CSR to padded ELL (host-side packing, one device put)."""
+        n_rows, n_cols = a.shape
+        deg = a.row_degrees
+        width = max(int(deg.max()) if n_rows else 1, 1)
+        width = _round_up(width, width_multiple)
+        pr = _round_up(max(n_rows, 1), row_multiple)
+        if pad_rows_to is not None:
+            pr = max(pr, pad_rows_to)  # caller-specified row padding
+
+        cols = np.repeat(
+            np.arange(pr, dtype=np.int64)[:, None], width, axis=1
+        )
+        # self-reference padding must stay in-bounds for gathers on x
+        np.clip(cols, 0, max(n_cols - 1, 0), out=cols)
+        vals = np.zeros((pr, width), dtype=np.float64)
+
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
+        # position of each nnz within its row
+        pos = np.arange(a.nnz, dtype=np.int64) - np.repeat(a.indptr[:-1], deg)
+        cols[rows, pos] = a.indices
+        vals[rows, pos] = a.data
+
+        return Ell(
+            jnp.asarray(cols, dtype=jnp.int32),
+            jnp.asarray(vals, dtype=dtype),
+            (n_rows, n_cols),
+            a.nnz,
+        )
+
+    def to_csr(self) -> CSR:
+        """Device ELL back to host CSR (drops padding zeros)."""
+        cols = np.asarray(self.cols)[: self.n_rows]
+        vals = np.asarray(self.vals)[: self.n_rows].astype(np.float64)
+        rr, pp = np.nonzero(vals != 0.0)
+        return CSR.from_coo(rr, cols[rr, pp], vals[rr, pp], self.shape)
