@@ -29,7 +29,7 @@ from .params import (  # noqa: E402
     StopType,
     CoarsestSolver,
 )
-from .sparse import CSR, Ell  # noqa: E402
+from .sparse import CSR, Ell, Dia  # noqa: E402
 from .io.matrix_market import read_mtx, write_mtx  # noqa: E402
 from .io.generators import poisson2d, poisson3d, random_spd  # noqa: E402
 from .hierarchy import setup, setup_host, Hierarchy, Level  # noqa: E402
@@ -48,6 +48,7 @@ __all__ = [
     "CoarsestSolver",
     "CSR",
     "Ell",
+    "Dia",
     "read_mtx",
     "write_mtx",
     "poisson2d",

@@ -19,11 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from .params import AMGParams, CoarsenType, InterpType, MIN_CDOF
-from .sparse import CSR, Ell, _round_up
-from .setup.strength import strength_matrix
-from .setup.cf_split import rs_split, pmis_split, clean_ff_couplings
-from .setup.interp import build_interpolation
-from .setup.coloring import build_groups
+from .sparse import CSR, Ell, Dia, _round_up
+from .setup_phase.strength import strength_matrix
+from .setup_phase.cf_split import rs_split, pmis_split, clean_ff_couplings
+from .setup_phase.interp import build_interpolation
+from .setup_phase.coloring import build_groups
 from .ops.spgemm import rap
 
 
@@ -40,21 +40,28 @@ class Level:
     Leaves are device arrays; ``shape`` info and group CF tags are static so
     the container can cross ``jit`` boundaries.  The coarsest level has
     ``p = r = None`` and the hierarchy holds a dense inverse for it.
+
+    The level operator ``a`` is :class:`~amg_tpu.sparse.Dia` when the matrix
+    is banded enough (the TPU fast path — gather-free SpMV and masked-color
+    GS) and :class:`~amg_tpu.sparse.Ell` otherwise (group-gather GS).
     """
 
-    a: Ell
+    a: object                   # Dia | Ell
     p: Optional[Ell]            # prolongation from level l+1 to l
     r: Optional[Ell]            # restriction  from level l to l+1
+    diag: jnp.ndarray           # (pad,) a_ii
     inv_diag: jnp.ndarray       # (pad,) 1/a_ii, 0 where |a_ii| tiny
     l1_inv: jnp.ndarray         # (pad,) 1/sum_j |a_ij|
-    diag_mask: jnp.ndarray      # (pad, w) bool marking diagonal slots
-    groups: jnp.ndarray         # (ng, gs) int32 GS groups, padded with pad
+    diag_mask: Optional[jnp.ndarray]  # (pad, w) bool diagonal slots (Ell GS)
+    groups: Optional[jnp.ndarray]     # (ng, gs) int32 GS groups (Ell GS)
+    gid: Optional[jnp.ndarray]        # (pad,) int32 group id per row (Dia GS)
     rho_dinv_a: jnp.ndarray     # scalar spectral-radius estimate of D^-1 A
     group_cf: Tuple[int, ...]   # static: 1 if group holds C points
 
     def tree_flatten(self):
-        leaves = (self.a, self.p, self.r, self.inv_diag, self.l1_inv,
-                  self.diag_mask, self.groups, self.rho_dinv_a)
+        leaves = (self.a, self.p, self.r, self.diag, self.inv_diag,
+                  self.l1_inv, self.diag_mask, self.groups, self.gid,
+                  self.rho_dinv_a)
         return leaves, (self.group_cf,)
 
     @classmethod
@@ -219,6 +226,18 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
     return hh
 
 
+def _use_dia(al: CSR, pars: AMGParams) -> bool:
+    """Pick the DIA fast path when the operator is banded enough: few
+    distinct (col-row) offsets and acceptable zero-fill."""
+    if al.n_rows != al.n_cols:
+        return False
+    nd = Dia.num_offsets(al)
+    if nd > pars.max_diags:
+        return False
+    fill = nd * al.n_rows / max(al.nnz, 1)
+    return fill <= pars.max_dia_fill
+
+
 def _level_from_csr(
     al: CSR,
     p: Optional[CSR],
@@ -231,7 +250,11 @@ def _level_from_csr(
 ) -> Level:
     from .params import SMALLFLOAT
 
-    a_ell = Ell.from_csr(al, dtype=dtype, pad_rows_to=pad)
+    use_dia = _use_dia(al, pars)
+    if use_dia:
+        a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad)
+    else:
+        a_dev = Ell.from_csr(al, dtype=dtype, pad_rows_to=pad)
     p_ell = Ell.from_csr(p, dtype=dtype, pad_rows_to=pad) if p is not None else None
     r_ell = (
         Ell.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse)
@@ -249,15 +272,21 @@ def _level_from_csr(
     np.add.at(l1, rows, np.abs(al.data))
     l1_inv = np.where(l1 > SMALLFLOAT, 1.0 / np.where(l1 != 0, l1, 1.0), 0.0)
 
-    # diagonal slot mask on the padded ELL layout
-    cols_np = np.asarray(a_ell.cols)
-    vals_np = np.asarray(a_ell.vals)
-    row_ids = np.arange(a_ell.padded_rows)[:, None]
-    diag_mask = (cols_np == row_ids) & (vals_np != 0)
-    # rows whose stored diagonal is exactly 0 never mask (matches the
-    # reference treating only the stored first-match diagonal specially)
+    groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
 
-    groups, group_cf = build_groups(al, cfmark, pad_to=pad)
+    diag_mask = None
+    groups_dev = None
+    gid_dev = None
+    if use_dia:
+        # gather-free masked GS path
+        gid_dev = jnp.asarray(gid, dtype=jnp.int32)
+    else:
+        # group-gather GS path: mark diagonal slots in the ELL layout
+        cols_np = np.asarray(a_dev.cols)
+        vals_np = np.asarray(a_dev.vals)
+        row_ids = np.arange(a_dev.padded_rows)[:, None]
+        diag_mask = jnp.asarray((cols_np == row_ids) & (vals_np != 0))
+        groups_dev = jnp.asarray(groups, dtype=jnp.int32)
 
     # spectral radius of D^{-1} A via a few power iterations (host)
     rng = np.random.default_rng(0)
@@ -272,13 +301,15 @@ def _level_from_csr(
         rho = nw / max(np.linalg.norm(v), 1e-300)
         v = w / nw
     return Level(
-        a=a_ell,
+        a=a_dev,
         p=p_ell,
         r=r_ell,
+        diag=jnp.asarray(diag, dtype=dtype),
         inv_diag=jnp.asarray(inv_diag, dtype=dtype),
         l1_inv=jnp.asarray(l1_inv, dtype=dtype),
-        diag_mask=jnp.asarray(diag_mask),
-        groups=jnp.asarray(groups, dtype=jnp.int32),
+        diag_mask=diag_mask,
+        groups=groups_dev,
+        gid=gid_dev,
         rho_dinv_a=jnp.asarray(rho, dtype=dtype),
         group_cf=tuple(int(t) for t in group_cf),
     )

@@ -1,0 +1,70 @@
+"""Hierarchy checkpoint / resume.
+
+The reference has no state serialization (SURVEY.md section 5,
+"Checkpoint / resume: None").  For production use the setup phase can be
+expensive (host graph algorithms), so this module saves a built
+:class:`~amg_tpu.hierarchy.HostHierarchy` to a single ``.npz`` file and
+restores it without re-running coarsening/interpolation — the device pack
+(:func:`amg_tpu.hierarchy.to_device`) is cheap and redone at load.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..sparse import CSR
+from ..hierarchy import HostHierarchy
+
+_FORMAT_VERSION = 1
+
+
+def _put_csr(out: dict, key: str, m: CSR) -> None:
+    out[f"{key}_indptr"] = np.asarray(m.indptr, dtype=np.int64)
+    out[f"{key}_indices"] = np.asarray(m.indices, dtype=np.int32)
+    out[f"{key}_data"] = np.asarray(m.data, dtype=np.float64)
+    out[f"{key}_shape"] = np.asarray(m.shape, dtype=np.int64)
+
+
+def _get_csr(z, key: str) -> CSR:
+    return CSR(
+        z[f"{key}_indptr"],
+        z[f"{key}_indices"],
+        z[f"{key}_data"],
+        tuple(int(v) for v in z[f"{key}_shape"]),
+    )
+
+
+def save_hierarchy(path, hh: HostHierarchy) -> None:
+    """Serialize a host hierarchy to ``path`` (.npz)."""
+    out: dict = {
+        "version": np.asarray(_FORMAT_VERSION),
+        "num_levels": np.asarray(hh.num_levels),
+        "num_cfmarks": np.asarray(len(hh.cfmark)),
+        "setup_seconds": np.asarray(hh.setup_seconds),
+    }
+    for l, m in enumerate(hh.a):
+        _put_csr(out, f"a{l}", m)
+    for l, m in enumerate(hh.p):
+        _put_csr(out, f"p{l}", m)
+    for l, m in enumerate(hh.r):
+        _put_csr(out, f"r{l}", m)
+    for l, cf in enumerate(hh.cfmark):
+        out[f"cfmark{l}"] = np.asarray(cf, dtype=np.int64)
+    np.savez_compressed(path, **out)
+
+
+def load_hierarchy(path) -> HostHierarchy:
+    """Restore a host hierarchy saved by :func:`save_hierarchy`."""
+    z = np.load(path)
+    version = int(z["version"])
+    if version != _FORMAT_VERSION:
+        raise ValueError(f"unsupported hierarchy checkpoint version {version}")
+    nl = int(z["num_levels"])
+    ncf = int(z["num_cfmarks"])
+    return HostHierarchy(
+        a=[_get_csr(z, f"a{l}") for l in range(nl)],
+        p=[_get_csr(z, f"p{l}") for l in range(nl - 1)],
+        r=[_get_csr(z, f"r{l}") for l in range(nl - 1)],
+        cfmark=[z[f"cfmark{l}"] for l in range(ncf)],
+        setup_seconds=float(z["setup_seconds"]),
+    )

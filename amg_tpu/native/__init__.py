@@ -1,0 +1,130 @@
+"""ctypes bindings for the native C++ setup kernels.
+
+The shared library is built on demand with g++ (no pip/pybind11 needed) and
+cached next to the source.  ``lib`` is None when no compiler is available;
+all callers fall back to pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "amg_native.cpp")
+_SO = os.path.join(_HERE, "libamg_native.so")
+
+_lock = threading.Lock()
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    with _lock:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
+        tmp = _SO + ".tmp"
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            _SRC, "-o", tmp,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
+            return _SO
+        except Exception:
+            return None
+
+
+class _NativeLib:
+    def __init__(self, dll: ctypes.CDLL):
+        self._dll = dll
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+        dll.spgemm_count.restype = i64
+        dll.spgemm_count.argtypes = [i64, i64, p_i64, p_i32, p_i64, p_i32, p_i64]
+        dll.spgemm_fill.restype = i32
+        dll.spgemm_fill.argtypes = [
+            i64, i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_f64,
+            p_i64, p_i32, p_f64,
+        ]
+        dll.rs_split.restype = i64
+        dll.rs_split.argtypes = [i64, p_i64, p_i32, p_i64, p_i32, p_i64]
+        dll.clean_ff.restype = i64
+        dll.clean_ff.argtypes = [i64, p_i64, p_i32, p_i64, i64]
+        dll.std_interp_values.restype = i32
+        dll.std_interp_values.argtypes = [
+            i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_i64, p_i32, p_i64, p_f64,
+        ]
+
+    # -- wrappers ------------------------------------------------------
+
+    def spgemm(self, a, b):
+        from ..sparse import CSR
+
+        m, n = a.n_rows, b.n_cols
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        av = np.ascontiguousarray(a.data, dtype=np.float64)
+        bp = np.ascontiguousarray(b.indptr, dtype=np.int64)
+        bj = np.ascontiguousarray(b.indices, dtype=np.int32)
+        bv = np.ascontiguousarray(b.data, dtype=np.float64)
+        cp = np.zeros(m + 1, dtype=np.int64)
+        nnz = self._dll.spgemm_count(m, n, ap, aj, bp, bj, cp)
+        cj = np.zeros(nnz, dtype=np.int32)
+        cv = np.zeros(nnz, dtype=np.float64)
+        self._dll.spgemm_fill(m, n, ap, aj, av, bp, bj, bv, cp, cj, cv)
+        return CSR(cp, cj, cv, (m, n))
+
+    def rs_split(self, s):
+        st = s.transpose()
+        n = s.n_rows
+        sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
+        sj = np.ascontiguousarray(s.indices, dtype=np.int32)
+        tp = np.ascontiguousarray(st.indptr, dtype=np.int64)
+        tj = np.ascontiguousarray(st.indices, dtype=np.int32)
+        vec = np.zeros(n, dtype=np.int64)
+        col = self._dll.rs_split(n, sp, sj, tp, tj, vec)
+        return vec, int(col)
+
+    def clean_ff(self, s, vec, col):
+        sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
+        sj = np.ascontiguousarray(s.indices, dtype=np.int32)
+        assert vec.dtype == np.int64
+        return int(self._dll.clean_ff(s.n_rows, sp, sj, vec, col))
+
+    def std_interp_values(self, a, vec, p, s):
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        av = np.ascontiguousarray(a.data, dtype=np.float64)
+        sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
+        sj = np.ascontiguousarray(s.indices, dtype=np.int32)
+        pp = np.ascontiguousarray(p.indptr, dtype=np.int64)
+        pj = np.ascontiguousarray(p.indices, dtype=np.int32)
+        v = np.ascontiguousarray(vec, dtype=np.int64)
+        self._dll.std_interp_values(
+            a.n_rows, ap, aj, av, sp, sj, pp, pj, v, p.data
+        )
+
+
+def _load() -> _NativeLib | None:
+    if os.environ.get("AMG_TPU_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        return _NativeLib(ctypes.CDLL(so))
+    except OSError:
+        return None
+
+
+lib = _load()

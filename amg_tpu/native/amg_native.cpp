@@ -1,0 +1,434 @@
+// Native setup-phase kernels for amg_tpu.
+//
+// The AMG setup phase is irregular, data-dependent graph work that belongs
+// on the host CPU: the greedy Ruge-Stueben C/F splitting is inherently
+// sequential (a priority queue), and SpGEMM has data-dependent output
+// sparsity.  The reference implements these in C on the host too
+// (amg/Setup/SSS_coarsen.c, amg/SSS_matvec.c:398-534); this module provides
+// the same capabilities, written fresh, exported with a C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC amg_native.cpp -o libamg_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SpGEMM: two-pass marker algorithm.
+//
+// Pass 1 counts the nnz of each output row using a "last seen in row i"
+// stamp array; pass 2 accumulates values into a dense workspace indexed by
+// column, materializing only the stamped columns.  Same asymptotics as the
+// reference's Ps_marker/As_marker scheme (amg/SSS_matvec.c:443-522) but a
+// single general A*B building block instead of a fused triple product.
+// ---------------------------------------------------------------------------
+
+// Pass 1: fill cp[0..m] (row pointer) and return total nnz (or -1 on error).
+int64_t spgemm_count(
+    int64_t m, int64_t n,
+    const int64_t* ap, const int32_t* aj,
+    const int64_t* bp, const int32_t* bj,
+    int64_t* cp)
+{
+    std::vector<int64_t> marker((size_t)n, -1);
+    cp[0] = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        int64_t cnt = 0;
+        for (int64_t ka = ap[i]; ka < ap[i + 1]; ++ka) {
+            const int32_t k = aj[ka];
+            for (int64_t kb = bp[k]; kb < bp[k + 1]; ++kb) {
+                const int32_t j = bj[kb];
+                if (marker[(size_t)j] != i) {
+                    marker[(size_t)j] = i;
+                    ++cnt;
+                }
+            }
+        }
+        cp[i + 1] = cp[i] + cnt;
+    }
+    return cp[m];
+}
+
+// Pass 2: fill cj/cv given cp from pass 1. Columns within a row appear in
+// first-touch order; values are exact sums. Returns 0 on success.
+int32_t spgemm_fill(
+    int64_t m, int64_t n,
+    const int64_t* ap, const int32_t* aj, const double* av,
+    const int64_t* bp, const int32_t* bj, const double* bv,
+    const int64_t* cp, int32_t* cj, double* cv)
+{
+    std::vector<int64_t> pos((size_t)n, -1);   // column -> output slot
+    std::vector<int64_t> stamp((size_t)n, -1);
+    for (int64_t i = 0; i < m; ++i) {
+        int64_t next = cp[i];
+        for (int64_t ka = ap[i]; ka < ap[i + 1]; ++ka) {
+            const int32_t k = aj[ka];
+            const double a = av[ka];
+            for (int64_t kb = bp[k]; kb < bp[k + 1]; ++kb) {
+                const int32_t j = bj[kb];
+                if (stamp[(size_t)j] != i) {
+                    stamp[(size_t)j] = i;
+                    pos[(size_t)j] = next;
+                    cj[next] = j;
+                    cv[next] = a * bv[kb];
+                    ++next;
+                } else {
+                    cv[pos[(size_t)j]] += a * bv[kb];
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// CSR transpose (histogram + scatter), for completeness / future use.
+// ---------------------------------------------------------------------------
+
+int32_t csr_transpose(
+    int64_t m, int64_t n,
+    const int64_t* ap, const int32_t* aj, const double* av,
+    int64_t* tp, int32_t* tj, double* tv)
+{
+    std::memset(tp, 0, sizeof(int64_t) * (size_t)(n + 1));
+    const int64_t nnz = ap[m];
+    for (int64_t k = 0; k < nnz; ++k) tp[aj[k] + 1]++;
+    for (int64_t j = 0; j < n; ++j) tp[j + 1] += tp[j];
+    std::vector<int64_t> next(tp, tp + n);
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k) {
+            const int64_t dst = next[(size_t)aj[k]]++;
+            tj[dst] = (int32_t)i;
+            tv[dst] = av[k];
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Classical RS C/F splitting.
+//
+// Same semantics as amg_tpu/setup/cf_split.py::_rs_split_py (which in turn
+// replicates the reference's cfsplitting_cls ordering): bucket priority
+// queue with FIFO buckets, measure = in-degree of S, quirks preserved.
+// vec values: UNPT=-1, FGPT=0, CGPT=1, ISPT=2.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int64_t UNPT = -1, FGPT = 0, CGPT = 1, ISPT = 2;
+
+struct BucketQueue {
+    std::vector<int64_t> nxt, prv;
+    // head/tail per measure, sized lazily
+    std::vector<int64_t> head, tail;
+    int64_t cur_max = -1;
+
+    explicit BucketQueue(int64_t n)
+        : nxt((size_t)n, -1), prv((size_t)n, -1) {}
+
+    void ensure(int64_t measure) {
+        if ((int64_t)head.size() <= measure) {
+            head.resize((size_t)measure + 1, -1);
+            tail.resize((size_t)measure + 1, -1);
+        }
+    }
+
+    void push(int64_t i, int64_t measure) {
+        ensure(measure);
+        const int64_t t = tail[(size_t)measure];
+        prv[(size_t)i] = t;
+        nxt[(size_t)i] = -1;
+        if (t >= 0) nxt[(size_t)t] = i;
+        else head[(size_t)measure] = i;
+        tail[(size_t)measure] = i;
+        if (measure > cur_max) cur_max = measure;
+    }
+
+    void remove(int64_t i, int64_t measure) {
+        const int64_t p = prv[(size_t)i], nx = nxt[(size_t)i];
+        if (p >= 0) nxt[(size_t)p] = nx;
+        else head[(size_t)measure] = nx;
+        if (nx >= 0) prv[(size_t)nx] = p;
+        else tail[(size_t)measure] = p;
+        prv[(size_t)i] = nxt[(size_t)i] = -1;
+    }
+
+    int64_t pop_max() {
+        while (cur_max >= 0 &&
+               (cur_max >= (int64_t)head.size() || head[(size_t)cur_max] < 0))
+            --cur_max;
+        if (cur_max < 0) return -1;
+        const int64_t i = head[(size_t)cur_max];
+        remove(i, cur_max);
+        return i;
+    }
+};
+
+}  // namespace
+
+// Returns the number of C points (col). vec must be length n.
+int64_t rs_split(
+    int64_t n,
+    const int64_t* sp, const int32_t* sj,     // S (compressed strength)
+    const int64_t* tp, const int32_t* tj,     // S^T
+    int64_t* vec)
+{
+    std::vector<int64_t> lam((size_t)n);
+    std::vector<uint8_t> in_q((size_t)n, 0);
+    for (int64_t i = 0; i < n; ++i) lam[(size_t)i] = tp[i + 1] - tp[i];
+
+    int64_t num_left = 0, col = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (sp[i + 1] == sp[i]) { vec[i] = ISPT; lam[(size_t)i] = 0; }
+        else { vec[i] = UNPT; ++num_left; }
+    }
+
+    BucketQueue q(n);
+
+    // initial fill: nodes processed in index order; measure<=0 nodes become
+    // F immediately and bump already-inserted (j < i) neighbors
+    for (int64_t i = 0; i < n; ++i) {
+        if (vec[i] == ISPT) continue;
+        const int64_t measure = lam[(size_t)i];
+        if (measure > 0) {
+            q.push(i, measure);
+            in_q[(size_t)i] = 1;
+        } else {
+            vec[i] = FGPT;
+            --num_left;
+            for (int64_t k = sp[i]; k < sp[i + 1]; ++k) {
+                const int64_t j = sj[k];
+                if (vec[j] == ISPT) continue;
+                if (j < i) {
+                    if (lam[(size_t)j] > 0 && in_q[(size_t)j])
+                        q.remove(j, lam[(size_t)j]);
+                    lam[(size_t)j] += 1;
+                    q.push(j, lam[(size_t)j]);
+                    in_q[(size_t)j] = 1;
+                } else {
+                    lam[(size_t)j] += 1;
+                }
+            }
+        }
+    }
+
+    while (num_left > 0) {
+        const int64_t maxnode = q.pop_max();
+        if (maxnode < 0) break;
+        in_q[(size_t)maxnode] = 0;
+        vec[maxnode] = CGPT;
+        lam[(size_t)maxnode] = 0;
+        --num_left;
+        ++col;
+
+        for (int64_t ii = tp[maxnode]; ii < tp[maxnode + 1]; ++ii) {
+            const int64_t j = tj[ii];
+            if (vec[j] != UNPT) continue;
+            vec[j] = FGPT;
+            if (in_q[(size_t)j]) { q.remove(j, lam[(size_t)j]); in_q[(size_t)j] = 0; }
+            --num_left;
+            for (int64_t l = sp[j]; l < sp[j + 1]; ++l) {
+                const int64_t k = sj[l];
+                if (vec[k] == UNPT) {
+                    if (in_q[(size_t)k]) q.remove(k, lam[(size_t)k]);
+                    lam[(size_t)k] += 1;
+                    q.push(k, lam[(size_t)k]);
+                    in_q[(size_t)k] = 1;
+                }
+            }
+        }
+
+        for (int64_t ii = sp[maxnode]; ii < sp[maxnode + 1]; ++ii) {
+            const int64_t j = sj[ii];
+            if (vec[j] != UNPT) continue;
+            if (in_q[(size_t)j]) { q.remove(j, lam[(size_t)j]); in_q[(size_t)j] = 0; }
+            lam[(size_t)j] -= 1;
+            if (lam[(size_t)j] > 0) {
+                q.push(j, lam[(size_t)j]);
+                in_q[(size_t)j] = 1;
+            } else {
+                vec[j] = FGPT;
+                --num_left;
+                for (int64_t l = sp[j]; l < sp[j + 1]; ++l) {
+                    const int64_t k = sj[l];
+                    if (vec[k] == UNPT) {
+                        if (in_q[(size_t)k]) q.remove(k, lam[(size_t)k]);
+                        lam[(size_t)k] += 1;
+                        q.push(k, lam[(size_t)k]);
+                        in_q[(size_t)k] = 1;
+                    }
+                }
+            }
+        }
+    }
+
+    // C1 criterion second pass (reference amg/Setup/SSS_coarsen.c:441-482)
+    std::vector<int64_t> graph((size_t)n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        if (vec[i] != FGPT) continue;
+        for (int64_t ji = sp[i]; ji < sp[i + 1]; ++ji) {
+            const int64_t j = sj[ji];
+            if (vec[j] == CGPT) graph[(size_t)j] = i;
+        }
+        int64_t cnt = 0, jkeep = -1;
+        for (int64_t ji = sp[i]; ji < sp[i + 1]; ++ji) {
+            const int64_t j = sj[ji];
+            if (vec[j] != FGPT) continue;
+            bool set_empty = true;
+            for (int64_t jj = sp[j]; jj < sp[j + 1]; ++jj) {
+                if (graph[(size_t)sj[jj]] == i) { set_empty = false; break; }
+            }
+            if (set_empty) {
+                if (cnt == 0) {
+                    vec[j] = CGPT; ++col; graph[(size_t)j] = i;
+                    jkeep = j; cnt = 1;
+                } else {
+                    vec[i] = CGPT; vec[jkeep] = FGPT;
+                    break;
+                }
+            }
+        }
+    }
+
+    return col;
+}
+
+// F-F coupling cleanup for direct interpolation (reference
+// amg/Setup/SSS_coarsen.c:501-574). Returns updated col.
+int64_t clean_ff(
+    int64_t n,
+    const int64_t* sp, const int32_t* sj,
+    int64_t* vec, int64_t col)
+{
+    std::vector<int64_t> cindex((size_t)n, -1);
+    bool c_i_nonempty = false;
+    int64_t ci_tilde = -1, ci_tilde_mark = -1;
+
+    for (int64_t i = 0; i < n; /* manual advance */) {
+        if (vec[i] != FGPT) { ++i; continue; }
+        for (int64_t ji = sp[i]; ji < sp[i + 1]; ++ji) {
+            const int64_t j = sj[ji];
+            cindex[(size_t)j] = (vec[j] == CGPT) ? i : -1;
+        }
+        if (ci_tilde_mark != i) ci_tilde = -1;
+        bool redo = false;
+        for (int64_t ji = sp[i]; ji < sp[i + 1]; ++ji) {
+            const int64_t j = sj[ji];
+            if (vec[j] != FGPT) continue;
+            bool set_empty = true;
+            for (int64_t jj = sp[j]; jj < sp[j + 1]; ++jj) {
+                if (cindex[(size_t)sj[jj]] == i) { set_empty = false; break; }
+            }
+            if (set_empty) {
+                if (c_i_nonempty) {
+                    vec[i] = CGPT; ++col;
+                    if (ci_tilde > -1) { vec[ci_tilde] = FGPT; --col; ci_tilde = -1; }
+                    c_i_nonempty = false;
+                } else {
+                    vec[j] = CGPT; ++col;
+                    ci_tilde = j; ci_tilde_mark = i;
+                    c_i_nonempty = true;
+                    redo = true;  // reference rolls back with i--
+                }
+                break;
+            }
+        }
+        if (!redo) ++i;
+    }
+    return col;
+}
+
+// ---------------------------------------------------------------------------
+// Standard interpolation values (the heaviest per-row Python loop).
+// Semantics identical to amg_tpu/setup/interp.py::interp_std_values.
+// ---------------------------------------------------------------------------
+
+int32_t std_interp_values(
+    int64_t n,
+    const int64_t* ap, const int32_t* aj, const double* av,
+    const int64_t* sp, const int32_t* sj,
+    const int64_t* pp, const int32_t* pj,
+    const int64_t* vec,
+    double* pv)
+{
+    std::vector<double> diag((size_t)n, 0.0), csum((size_t)n, 0.0),
+        nsum((size_t)n, 0.0), psum((size_t)n, 0.0), ahat((size_t)n, 0.0);
+    std::vector<int64_t> cindex((size_t)n, -1);
+    std::vector<int64_t> rind((size_t)n, -1);  // col -> A slot for one row
+
+    // strong-C flags + sums (reference amg/Setup/SSS_inter.cu:587-614)
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = sp[i]; j < sp[i + 1]; ++j) {
+            const int64_t k = sj[j];
+            if (vec[k] == CGPT) cindex[(size_t)k] = i;
+        }
+        for (int64_t j = ap[i]; j < ap[i + 1]; ++j) {
+            const int64_t k = aj[j];
+            if (cindex[(size_t)k] == i) csum[(size_t)i] += av[j];
+            if (k == i) diag[(size_t)i] = av[j];
+            else {
+                nsum[(size_t)i] += av[j];
+                if (vec[k] != ISPT) psum[(size_t)i] += av[j];
+            }
+        }
+    }
+
+    std::vector<int64_t> rind_k((size_t)n, -1);
+
+    for (int64_t i = 0; i < n; ++i) {
+        if (vec[i] == CGPT) {
+            pv[pp[i]] = 1.0;
+            continue;
+        }
+        if (vec[i] != FGPT) continue;
+
+        double alN = psum[(size_t)i], alP = csum[(size_t)i];
+        for (int64_t j = ap[i]; j < ap[i + 1]; ++j) rind[(size_t)aj[j]] = j;
+        for (int64_t j = pp[i]; j < pp[i + 1]; ++j) ahat[(size_t)pj[j]] = 0.0;
+        ahat[(size_t)i] = diag[(size_t)i];
+
+        for (int64_t j = sp[i]; j < sp[i + 1]; ++j) {
+            const int64_t k = sj[j];
+            const int64_t slot = rind[(size_t)k];
+            const double aik = (slot >= 0 && slot >= ap[i] && slot < ap[i + 1])
+                                   ? av[slot] : 0.0;
+            if (vec[k] == CGPT) {
+                ahat[(size_t)k] += aik;
+            } else if (vec[k] == FGPT) {
+                const double akk = diag[(size_t)k];
+                const double factor = aik / akk;
+                double aki = 0.0;
+                for (int64_t m = ap[k]; m < ap[k + 1]; ++m) {
+                    rind_k[(size_t)aj[m]] = m;
+                    if (aj[m] == i) {
+                        aki = av[m];
+                        ahat[(size_t)i] -= factor * aki;
+                    }
+                }
+                for (int64_t m = sp[k]; m < sp[k + 1]; ++m) {
+                    const int64_t l = sj[m];
+                    if (vec[l] == CGPT) {
+                        const int64_t sl = rind_k[(size_t)l];
+                        const double akl =
+                            (sl >= ap[k] && sl < ap[k + 1]) ? av[sl] : 0.0;
+                        ahat[(size_t)l] -= factor * akl;
+                    }
+                }
+                alN -= factor * (nsum[(size_t)k] - aki + akk);
+                alP -= factor * csum[(size_t)k];
+            }
+        }
+        if (pp[i + 1] > pp[i]) {
+            const double alpha = alN / alP;
+            for (int64_t j = pp[i]; j < pp[i + 1]; ++j)
+                pv[j] = -alpha * ahat[(size_t)pj[j]] / ahat[(size_t)i];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -22,15 +22,40 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..sparse import Ell
+from ..sparse import Ell, Dia
 
 
-def spmv(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A @ x. Returns a vector of length ``a.padded_rows`` (padding rows
-    produce zeros because their values are zero)."""
+def spmv_ell(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
+    """Gather-based ELL SpMV (general fallback)."""
     gathered = x[a.cols]                      # (pr, w) gather
     y = jnp.sum(a.vals * gathered, axis=1)
     return y
+
+
+def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal-offset SpMV: static shifted slices + FMA, no gathers.
+
+    ~35x faster than the gather path on TPU (VPU streaming at HBM
+    bandwidth); this is the per-chip speed-of-light kernel for banded
+    operators (SURVEY.md section 3.5).
+    """
+    pad = a.padded_rows
+    lo = max(-min(a.offsets), 0) if a.offsets else 0
+    hi = max(max(a.offsets), 0) if a.offsets else 0
+    xp = jnp.pad(x, (lo, hi))
+    y = jnp.zeros((pad,), x.dtype)
+    for k, off in enumerate(a.offsets):
+        start = lo + off
+        y = y + a.vals[k] * jax.lax.slice(xp, (start,), (start + pad,))
+    return y
+
+
+def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x. Returns a vector of length ``a.padded_rows`` (padding rows
+    produce zeros because their values are zero).  Dispatches on format."""
+    if isinstance(a, Dia):
+        return spmv_dia(a, x)
+    return spmv_ell(a, x)
 
 
 def spmv_n(a: Ell, x: jnp.ndarray) -> jnp.ndarray:

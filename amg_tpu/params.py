@@ -149,6 +149,9 @@ class AMGParams:
     dtype: str = "float64"        # compute dtype for the solve phase
     setup_dtype: str = "float64"  # host setup always runs f64
     verbose: int = 1
+    # Device-format selection (TPU fast path)
+    max_diags: int = 96           # use DIA when distinct offsets <= this
+    max_dia_fill: float = 6.0     # ... and nd*n/nnz <= this
     # Multi-device settings
     coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
 

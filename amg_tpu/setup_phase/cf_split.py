@@ -239,6 +239,12 @@ def _c1_pass(s: CSR, vec: np.ndarray, col: int) -> int:
 def clean_ff_couplings(s: CSR, vec: np.ndarray, col: int) -> int:
     """F-F fixup used before direct interpolation (reference
     amg/Setup/SSS_coarsen.c:501-574), including its tentative-C rollback."""
+    try:
+        from ..native import lib as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        return _native.clean_ff(s, vec, col)
     n = s.n_rows
     sp, sj = s.indptr, s.indices
     cindex = np.full(n, -1, dtype=np.int64)

@@ -80,11 +80,13 @@ def build_groups(
 ):
     """Build padded GS update groups.
 
-    Returns ``(groups, group_cf)`` where ``groups`` is an int32 array
+    Returns ``(groups, group_cf, gid)`` where ``groups`` is an int32 array
     (n_groups, max_size) of row indices padded with ``pad_to`` (an
-    out-of-range index — dropped by scatter, harmless for gather), and
+    out-of-range index — dropped by scatter, harmless for gather),
     ``group_cf[g]`` is 1 if group g contains C points, 0 for F points
-    (used to order groups F-first / C-first).
+    (used to order groups F-first / C-first), and ``gid`` is the (pad_to,)
+    int32 inverse map (group index per row, -1 on padding) used by the
+    gather-free masked-GS path.
 
     When ``cfmark`` is None, groups are pure color classes in color order.
     """
@@ -118,6 +120,12 @@ def build_groups(
     max_size = ((max_size + group_multiple - 1) // group_multiple) * group_multiple
     max_size = max(max_size, group_multiple)
     out = np.full((len(group_lists), max_size), pad_to, dtype=np.int64)
+    gid = np.full(pad_to, -1, dtype=np.int32)
     for gi, g in enumerate(group_lists):
         out[gi, : len(g)] = g
-    return out.astype(np.int32), np.asarray(group_cf, dtype=np.int32)
+        gid[g] = gi
+    return (
+        out.astype(np.int32),
+        np.asarray(group_cf, dtype=np.int32),
+        gid,
+    )

@@ -208,6 +208,13 @@ def interp_std_values(a: CSR, vec: np.ndarray, p: CSR, s: CSR) -> None:
     amg/Setup/SSS_inter.cu:550-715): eliminate strong F neighbors k through
     their diagonal (factor a_ik/a_kk), accumulate hat-A over interpolatory C
     points, then scale by -alpha/Ahat_i."""
+    try:
+        from ..native import lib as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        _native.std_interp_values(a, vec, p, s)
+        return
     n = a.n_rows
     ap, aj, av = a.indptr, a.indices, a.data
     sp, sj = s.indptr, s.indices

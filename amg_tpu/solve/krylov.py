@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SMALLFLOAT
-from ..sparse import Ell
+from ..sparse import Ell, Dia
 from ..ops.spmv import spmv
 from ..ops.blas import dot, norm2
 
 
 def _as_op(a):
-    if isinstance(a, Ell):
+    if isinstance(a, (Ell, Dia)):
         return lambda v: spmv(a, v)
     return a
 

@@ -28,6 +28,24 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SmootherType
+from ..sparse import Dia
+
+
+def _masked_group_update(level, x, b, g: int, relax=None):
+    """Gauss-Seidel update of group ``g`` on the DIA fast path.
+
+    Gather-free: one full (diagonal-slice) SpMV, then a masked update of the
+    group's rows.  ``t_i = (b_i - (Ax)_i + a_ii x_i) / a_ii`` is the exact
+    GS update because rows within a group are mutually independent.
+    """
+    from ..ops.spmv import spmv
+
+    ax = spmv(level.a, x)
+    t = (b - ax + level.diag * x) * level.inv_diag
+    if relax is not None:
+        t = (1.0 - relax) * x + relax * t
+    upd = (level.gid == g) & (level.inv_diag != 0)
+    return jnp.where(upd, t, x)
 
 
 def _group_update(level, x, b, idx, relax=None):
@@ -56,8 +74,12 @@ def _group_update(level, x, b, idx, relax=None):
 
 def gs_sweep(level, x, b, order, relax=None):
     """One GS sweep over groups in the given (static) order."""
-    for g in order:
-        x = _group_update(level, x, b, level.groups[g], relax=relax)
+    if isinstance(level.a, Dia):
+        for g in order:
+            x = _masked_group_update(level, x, b, g, relax=relax)
+    else:
+        for g in order:
+            x = _group_update(level, x, b, level.groups[g], relax=relax)
     return x
 
 

@@ -277,3 +277,107 @@ class Ell:
         vals = np.asarray(self.vals)[: self.n_rows].astype(np.float64)
         rr, pp = np.nonzero(vals != 0.0)
         return CSR.from_coo(rr, cols[rr, pp], vals[rr, pp], self.shape)
+
+
+# ---------------------------------------------------------------------------
+# Device DIA (diagonal-offset) format
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Dia:
+    """Diagonal (offset) storage on device — the TPU fast path for banded
+    operators.
+
+    ``vals[d, i] = A[i, i + offsets[d]]`` with a static offset tuple.  SpMV
+    is a sum of statically-shifted element-wise products::
+
+        y = sum_d vals[d] * x_padded[L + offsets[d] : L + offsets[d] + n]
+
+    i.e. pure VPU streaming with **no gathers** — measured ~35x faster than
+    gather-based ELL SpMV on TPU (see ops/spmv.py).  AMG operators from
+    stencil problems (and their Galerkin coarse operators) have few distinct
+    offsets, so most levels qualify; unstructured levels fall back to
+    :class:`Ell`.
+
+    Replaces the reference's thread-per-row CSR kernel
+    (amg/Solve/SSS_cuda.cu:77-96) for the structured case.
+    """
+
+    vals: jnp.ndarray           # (nd, pad) dtype
+    offsets: Tuple[int, ...]    # static
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.vals,), (self.offsets, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (vals,) = children
+        offsets, shape, nnz = aux
+        return cls(vals, offsets, shape, nnz)
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.vals.shape[1]
+
+    @property
+    def n_diags(self) -> int:
+        return len(self.offsets)
+
+    @staticmethod
+    def num_offsets(a: CSR) -> int:
+        """Distinct (col - row) offsets of a host CSR matrix."""
+        rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), a.row_degrees)
+        return len(np.unique(a.indices.astype(np.int64) - rows))
+
+    @staticmethod
+    def from_csr(
+        a: CSR,
+        dtype=jnp.float64,
+        row_multiple: int = 8,
+        pad_rows_to: int | None = None,
+    ) -> "Dia":
+        n_rows, n_cols = a.shape
+        pr = _round_up(max(n_rows, 1), row_multiple)
+        if pad_rows_to is not None:
+            pr = max(pr, pad_rows_to)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
+        offs = a.indices.astype(np.int64) - rows
+        uniq = np.unique(offs)
+        dmap = {int(o): k for k, o in enumerate(uniq)}
+        vals = np.zeros((len(uniq), pr), dtype=np.float64)
+        dpos = np.searchsorted(uniq, offs)
+        vals[dpos, rows] = 0.0  # ensure slots exist
+        np.add.at(vals, (dpos, rows), a.data)
+        return Dia(
+            jnp.asarray(vals, dtype=dtype),
+            tuple(int(o) for o in uniq),
+            (n_rows, n_cols),
+            a.nnz,
+        )
+
+    def to_csr(self) -> CSR:
+        vals = np.asarray(self.vals, dtype=np.float64)
+        rows_l, cols_l, data_l = [], [], []
+        for k, off in enumerate(self.offsets):
+            i = np.arange(self.n_rows, dtype=np.int64)
+            j = i + off
+            m = (j >= 0) & (j < self.n_cols) & (vals[k, : self.n_rows] != 0)
+            rows_l.append(i[m])
+            cols_l.append(j[m])
+            data_l.append(vals[k, : self.n_rows][m])
+        return CSR.from_coo(
+            np.concatenate(rows_l), np.concatenate(cols_l),
+            np.concatenate(data_l), self.shape,
+        )

@@ -1,0 +1,123 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: sustained SpMV throughput (nnz/s) of the level-0 operator
+during a full V-cycle solve of a 3D 7-point Poisson problem to 1e-8 relative
+residual — i.e. end-to-end solve speed normalized by matrix size, the
+BASELINE.json metric ("SpMV + V-cycle GFLOP/s and nnz/s per chip;
+iterations to 1e-8 residual").
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+reported against this framework's own round-1 reference value recorded in
+``BASELINE_SELF`` below — ratios > 1 mean faster than round 1.
+
+Environment knobs:
+    AMG_BENCH_N      rows per side of the 3D grid  (default 100 -> 1M rows)
+    AMG_BENCH_DTYPE  float32 | float64             (default float32)
+    AMG_BENCH_SMOOTHER  GS | CHEBYSHEV | L1DIAG ... (default GS)
+Secondary measurements go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+# Round-1 self-baseline (nnz/s, this benchmark, 1 chip); ratios are
+# against this number so later rounds show progress.
+BASELINE_SELF = 2.0e9
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n_side = int(os.environ.get("AMG_BENCH_N", "100"))
+    dtype = os.environ.get("AMG_BENCH_DTYPE", "float32")
+    smoother_name = os.environ.get("AMG_BENCH_SMOOTHER", "GS")
+
+    import jax
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.ops.spmv import spmv
+    from amg_tpu.params import SmootherType
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, grid {n_side}^3, dtype {dtype}")
+
+    t0 = time.perf_counter()
+    a = amg.poisson3d(n_side)
+    log(f"assembled A: n={a.n_rows}, nnz={a.nnz} "
+        f"({time.perf_counter()-t0:.2f}s)")
+
+    tol = 1e-8 if dtype == "float64" else 1e-6
+    pars = amg.AMGParams(
+        tol=tol,
+        dtype=dtype,
+        smoother=SmootherType[smoother_name],
+        verbose=0,
+        max_it=60,
+    )
+
+    t0 = time.perf_counter()
+    solver = amg.AMGSolver(a, pars, log=log)
+    setup_s = time.perf_counter() - t0
+    log(f"setup: {setup_s:.2f}s, levels="
+        f"{[m.n_rows for m in solver.host_hierarchy.a]}")
+    log(f"formats: "
+        f"{[type(l.a).__name__ for l in solver.mg.levels]}")
+
+    b = np.ones(a.n_rows)
+
+    # -- SpMV microbenchmark (level-0 operator) -------------------------
+    e = solver.mg.levels[0].a
+    x = jnp.ones(solver.pad, dtype=solver.dtype)
+    f = jax.jit(lambda x: spmv(e, x) * (1.0 / n_side))
+    y = f(x)
+    y.block_until_ready()
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(y)
+    y.block_until_ready()
+    spmv_s = (time.perf_counter() - t0) / reps
+    spmv_nnz_s = a.nnz / spmv_s
+    log(f"spmv: {spmv_s*1e3:.3f} ms -> {spmv_nnz_s/1e9:.3f} Gnnz/s, "
+        f"{2*a.nnz/spmv_s/1e9:.2f} GFLOP/s")
+
+    # -- full solve (jitted while_loop; warm up compile first) ----------
+    xw, info_w = solver.solve_jit(b)
+    log(f"warmup solve: {info_w.nits} its, rres {info_w.rres:.2e}, "
+        f"{info_w.solve_seconds:.2f}s (includes compile)")
+    x_sol, info = solver.solve_jit(b)
+    log(f"solve: {info.nits} its, rres {info.rres:.2e}, "
+        f"{info.solve_seconds:.3f}s")
+
+    # verify on host
+    r = b - a.matvec(x_sol.astype(np.float64))
+    true_rres = float(np.linalg.norm(r) / np.linalg.norm(b))
+    log(f"true rres: {true_rres:.3e}")
+
+    # headline: nnz processed per second of solve =
+    #   (sum over levels of per-cycle A-applications * level nnz) * cycles / t
+    # approximate with level-0 work which dominates: per cycle the level-0
+    # operator is applied ~(groups*(pre+post) + 1) times
+    solve_nnz_s = a.nnz * info.nits / info.solve_seconds
+
+    result = {
+        "metric": "poisson3d_vcycle_solve_nnz_per_s",
+        "value": float(f"{solve_nnz_s:.4g}"),
+        "unit": "nnz*cycles/s",
+        "vs_baseline": float(f"{solve_nnz_s / BASELINE_SELF:.4g}"),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""Solve-phase tests: smoothers, Krylov, cycle, end-to-end convergence."""
+
+import numpy as np
+import pytest
+
+import amg_tpu as amg
+from amg_tpu.params import (
+    AMGParams, SmootherType, InterpType, CoarsestSolver,
+)
+from amg_tpu.sparse import CSR, Ell
+from amg_tpu.hierarchy import setup, _level_from_csr
+from amg_tpu.solve.smoothers import smooth, gs_sweep, _order
+from amg_tpu.solve.krylov import cg, gmres
+
+
+def _mk_level(a: CSR, cfmark=None, pars=AMGParams(), force_ell=False):
+    import jax.numpy as jnp
+
+    if force_ell:
+        pars = pars.replace(max_diags=0)
+    pad = ((a.n_rows + 7) // 8) * 8
+    return _level_from_csr(a, None, None, cfmark, pad, None,
+                           jnp.float64, pars)
+
+
+def _gs_oracle(a: CSR, x, b, order_rows):
+    """Sequential GS in a given row order (numpy oracle)."""
+    x = x.copy()
+    d = a.to_dense()
+    for i in order_rows:
+        t = b[i] - d[i] @ x + d[i, i] * x[i]
+        if abs(d[i, i]) > 1e-20:
+            x[i] = t / d[i, i]
+    return x
+
+
+def test_colored_gs_is_exact_gs():
+    """The multicolor sweep equals sequential GS in the colored order."""
+    a = amg.poisson2d(6)
+    n = a.n_rows
+    level = _mk_level(a, force_ell=True)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal(n)
+    b = rng.standard_normal(n)
+
+    import jax.numpy as jnp
+
+    pad = level.pad
+    xp = np.zeros(pad); xp[:n] = x0
+    bp = np.zeros(pad); bp[:n] = b
+    order = _order(level, True, 0, True)
+    got = np.asarray(gs_sweep(level, jnp.asarray(xp), jnp.asarray(bp), order))[:n]
+
+    # oracle: same ordering flattened
+    groups = np.asarray(level.groups)
+    rows = [r for g in order for r in groups[g] if r < n]
+    want = _gs_oracle(a, x0, b, rows)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+
+def test_masked_gs_matches_group_gs():
+    """The DIA masked-GS path produces the same sweep as the ELL group
+    path (both are exact GS in the colored ordering)."""
+    import jax.numpy as jnp
+
+    a = amg.poisson2d(7)
+    n = a.n_rows
+    lvl_dia = _mk_level(a)
+    lvl_ell = _mk_level(a, force_ell=True)
+    from amg_tpu.sparse import Dia as _Dia
+
+    assert isinstance(lvl_dia.a, _Dia)
+    rng_ = np.random.default_rng(3)
+    pad = lvl_dia.pad
+    x = np.zeros(pad); x[:n] = rng_.standard_normal(n)
+    b = np.zeros(pad); b[:n] = rng_.standard_normal(n)
+    order = _order(lvl_dia, True, 0, True)
+    y1 = np.asarray(gs_sweep(lvl_dia, jnp.asarray(x), jnp.asarray(b), order))
+    y2 = np.asarray(gs_sweep(lvl_ell, jnp.asarray(x), jnp.asarray(b), order))
+    np.testing.assert_allclose(y1[:n], y2[:n], rtol=1e-12, atol=1e-13)
+
+
+def test_groups_partition_rows():
+    a = amg.poisson2d(9)
+    level = _mk_level(a, force_ell=True)
+    groups = np.asarray(level.groups)
+    rows = groups[groups < a.n_rows]
+    assert sorted(rows.tolist()) == list(range(a.n_rows))
+    # within a group, no two rows are adjacent in A
+    d = a.to_dense() != 0
+    for g in groups:
+        g = g[g < a.n_rows]
+        sub = d[np.ix_(g, g)]
+        np.fill_diagonal(sub, False)
+        assert not sub.any()
+
+
+def test_cf_groups_order():
+    a = amg.poisson2d(8)
+    from amg_tpu.setup_phase.strength import strength_matrix
+    from amg_tpu.setup_phase.cf_split import rs_split
+
+    vec, _ = rs_split(strength_matrix(a))
+    level = _mk_level(a, cfmark=vec)
+    pre = _order(level, True, 1, True)
+    post = _order(level, True, 1, False)
+    # pre: all F groups before C groups; post: reverse
+    cf = [level.group_cf[g] for g in pre]
+    assert cf == sorted(cf)
+    cf_post = [level.group_cf[g] for g in post]
+    assert cf_post == sorted(cf_post, reverse=True)
+
+
+@pytest.mark.parametrize("sm", [
+    SmootherType.GS, SmootherType.SGS, SmootherType.JACOBI,
+    SmootherType.WJACOBI, SmootherType.L1DIAG, SmootherType.SOR,
+    SmootherType.SSOR, SmootherType.POLY, SmootherType.GSOR,
+    SmootherType.SGSOR,
+])
+def test_smoothers_reduce_error(sm):
+    a = amg.poisson2d(8)
+    n = a.n_rows
+    pars = AMGParams(smoother=sm, relax=0.8)
+    level = _mk_level(a, pars=pars)
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(n)
+    b = a.matvec(x_true)
+    pad = level.pad
+    xp = np.zeros(pad)
+    bp = np.zeros(pad); bp[:n] = b
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(xp)
+    e0 = np.linalg.norm(x_true)
+    for _ in range(10):
+        x = smooth(level, x, jnp.asarray(bp), pars, 1, pre=True)
+    e1 = np.linalg.norm(np.asarray(x)[:n] - x_true)
+    assert e1 < 0.7 * e0, f"{sm.name}: {e1} !< 0.7*{e0}"
+
+
+def test_cg_solves_spd(rng):
+    a = amg.poisson2d(10)
+    e = Ell.from_csr(a)
+    import jax.numpy as jnp
+
+    n, pad = a.n_rows, e.padded_rows
+    x_true = rng.standard_normal(n)
+    b = np.zeros(pad); b[:n] = a.matvec(x_true)
+    x, conv = cg(e, jnp.asarray(b), jnp.zeros(pad), tol=1e-10, maxit=500)
+    assert bool(conv)
+    np.testing.assert_allclose(np.asarray(x)[:n], x_true, rtol=1e-7, atol=1e-8)
+
+
+def test_gmres_solves_nonsymmetric(rng):
+    n = 24
+    d = np.diag(np.arange(2.0, 2.0 + n)) + 0.3 * np.triu(np.ones((n, n)), 1)
+    a = CSR.from_dense(d)
+    e = Ell.from_csr(a)
+    import jax.numpy as jnp
+
+    pad = e.padded_rows
+    x_true = rng.standard_normal(n)
+    b = np.zeros(pad); b[:n] = d @ x_true
+    x, conv = gmres(e, jnp.asarray(b), jnp.zeros(pad), tol=1e-10,
+                    maxit=300, restart=20)
+    assert bool(conv)
+    np.testing.assert_allclose(np.asarray(x)[:n], x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_vcycle_converges_poisson():
+    a = amg.poisson2d(32)
+    pars = AMGParams(verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    b = np.ones(a.n_rows)
+    x, info = solver.solve(b)
+    assert info.rres < 1e-6
+    assert info.nits <= 15
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+def test_vcycle_converges_bus(bus1138):
+    pars = AMGParams(verbose=0)
+    solver = amg.AMGSolver(bus1138, pars)
+    b = np.ones(1138)
+    x, info = solver.solve(b, x0=np.ones(1138))
+    assert info.rres < 1e-6
+    assert info.nits <= 40
+    r = b - bus1138.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+def test_solve_jit_matches_host_loop():
+    a = amg.poisson2d(16)
+    pars = AMGParams(verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    b = np.ones(a.n_rows)
+    x1, info1 = solver.solve(b)
+    x2, info2 = solver.solve_jit(b)
+    assert info1.nits == info2.nits
+    np.testing.assert_allclose(x1, x2, rtol=1e-12)
+
+
+def test_wcycle_converges():
+    a = amg.poisson2d(24)
+    pars = AMGParams(cycle_type=2, verbose=0, max_levels=5)
+    solver = amg.AMGSolver(a, pars)
+    x, info = solver.solve(np.ones(a.n_rows))
+    assert info.rres < 1e-6
+    # W-cycle should converge at least as fast as V
+    pars_v = AMGParams(cycle_type=1, verbose=0, max_levels=5)
+    _, info_v = amg.AMGSolver(a, pars_v).solve(np.ones(a.n_rows))
+    assert info.nits <= info_v.nits
+
+
+def test_std_interp_converges():
+    a = amg.poisson2d(24)
+    pars = AMGParams(interp_type=InterpType.STD, verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    x, info = solver.solve(np.ones(a.n_rows))
+    assert info.rres < 1e-6
+
+
+def test_krylov_coarsest_converges():
+    a = amg.poisson2d(16)
+    pars = AMGParams(coarsest_solver=CoarsestSolver.KRYLOV, verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    x, info = solver.solve(np.ones(a.n_rows))
+    assert info.rres < 1e-6
+
+
+def test_float32_mode():
+    a = amg.poisson2d(16)
+    pars = AMGParams(dtype="float32", tol=1e-5, verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    x, info = solver.solve(np.ones(a.n_rows))
+    assert info.rres < 1e-5
+
+
+def test_anisotropic_poisson():
+    a = amg.poisson2d(24, epsilon=0.01)
+    pars = AMGParams(verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    x, info = solver.solve(np.ones(a.n_rows))
+    assert info.rres < 1e-6
+
+
+def test_zero_rhs_short_circuit():
+    a = amg.poisson2d(8)
+    x, info = amg.solver_amg(a, np.ones(64), np.zeros(64),
+                             AMGParams(verbose=0))
+    np.testing.assert_allclose(x, 0.0)
+    assert info.nits == 0
+
+
+def test_3d_poisson():
+    a = amg.poisson3d(10)
+    pars = AMGParams(verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    x, info = solver.solve(np.ones(a.n_rows))
+    assert info.rres < 1e-6
+
+
+def test_tight_tolerance_1e8():
+    """North-star tolerance: 1e-8 relative residual (BASELINE.md)."""
+    a = amg.poisson2d(32)
+    pars = AMGParams(tol=1e-8, verbose=0)
+    solver = amg.AMGSolver(a, pars)
+    b = np.ones(a.n_rows)
+    x, info = solver.solve(b)
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8

@@ -1,0 +1,112 @@
+"""CSR / ELL container tests (vs scipy oracles)."""
+
+import numpy as np
+import pytest
+
+import amg_tpu as amg
+from amg_tpu.sparse import CSR, Ell
+
+
+def _random_csr(rng, m=40, n=50, density=0.1):
+    import scipy.sparse as sp
+
+    a = sp.random(m, n, density=density, random_state=np.random.RandomState(0),
+                  format="csr")
+    a.data = rng.standard_normal(a.nnz)
+    return a
+
+
+def test_from_coo_dedup():
+    a = CSR.from_coo([0, 0, 1], [1, 1, 0], [2.0, 3.0, 4.0], (2, 2))
+    assert a.nnz == 2
+    d = a.to_dense()
+    assert d[0, 1] == 5.0 and d[1, 0] == 4.0
+
+
+def test_transpose_matches_scipy(rng):
+    s = _random_csr(rng)
+    a = CSR.from_scipy(s)
+    at = a.transpose()
+    np.testing.assert_allclose(at.to_dense(), s.T.toarray(), atol=1e-14)
+
+
+def test_matvec_matches_scipy(rng):
+    s = _random_csr(rng)
+    a = CSR.from_scipy(s)
+    x = rng.standard_normal(a.n_cols)
+    np.testing.assert_allclose(a.matvec(x), s @ x, rtol=1e-13)
+
+
+def test_diagonal(rng):
+    a = amg.poisson2d(8)
+    np.testing.assert_allclose(a.diagonal_fast(), np.full(64, 4.0))
+    np.testing.assert_allclose(a.diagonal(), a.diagonal_fast())
+
+
+def test_ell_roundtrip(rng):
+    s = _random_csr(rng, 33, 33, 0.15)
+    a = CSR.from_scipy(s)
+    e = Ell.from_csr(a)
+    assert e.padded_rows % 8 == 0
+    back = e.to_csr()
+    np.testing.assert_allclose(back.to_dense(), a.to_dense(), atol=1e-14)
+
+
+def test_ell_spmv(rng):
+    from amg_tpu.ops.spmv import spmv, spmv_n, residual
+
+    s = _random_csr(rng, 37, 41, 0.2)
+    a = CSR.from_scipy(s)
+    e = Ell.from_csr(a)
+    x = rng.standard_normal(41)
+    y = np.asarray(spmv(e, x))
+    np.testing.assert_allclose(y[:37], s @ x, rtol=1e-12)
+    assert np.all(y[37:] == 0)
+    np.testing.assert_allclose(np.asarray(spmv_n(e, x)), s @ x, rtol=1e-12)
+    b = rng.standard_normal(37)
+    np.testing.assert_allclose(np.asarray(residual(e, x, b)), b - s @ x,
+                               rtol=1e-12)
+
+
+def test_ell_row_padding():
+    a = amg.poisson2d(5)  # 25 rows
+    e = Ell.from_csr(a, pad_rows_to=64)
+    assert e.padded_rows == 64
+    x = np.ones(25)
+    from amg_tpu.ops.spmv import spmv
+
+    y = np.asarray(spmv(e, x))
+    np.testing.assert_allclose(y[:25], a.matvec(x), rtol=1e-13)
+    assert np.all(y[25:] == 0)
+
+
+def test_dia_roundtrip():
+    from amg_tpu.sparse import Dia
+
+    a = amg.poisson2d(9)
+    d = Dia.from_csr(a)
+    assert d.n_diags == 5
+    np.testing.assert_allclose(d.to_csr().to_dense(), a.to_dense())
+
+
+def test_dia_spmv_matches_csr(rng):
+    from amg_tpu.sparse import Dia
+    from amg_tpu.ops.spmv import spmv
+
+    a = amg.poisson2d(11)
+    d = Dia.from_csr(a)
+    x = np.zeros(d.padded_rows)
+    x[: a.n_rows] = rng.standard_normal(a.n_rows)
+    import jax.numpy as jnp
+
+    y = np.asarray(spmv(d, jnp.asarray(x)))
+    np.testing.assert_allclose(y[: a.n_rows], a.matvec(x[: a.n_rows]),
+                               rtol=1e-13)
+    assert np.all(y[a.n_rows:] == 0)
+
+
+def test_dia_num_offsets():
+    from amg_tpu.sparse import Dia
+
+    a = amg.poisson3d(5)
+    assert Dia.num_offsets(a) == 7
