@@ -19,6 +19,7 @@ from .params import (
     AMGParams,
     CoarsenType,
     CoarsestSolver,
+    ErrorCode,
     InterpType,
     SmootherType,
 )
@@ -128,11 +129,31 @@ def load_matrix(spec: str):
 
 
 def main(argv=None) -> int:
+    import os
+
+    import jax
+
+    # persistent compile cache: the unrolled V-cycle program can take
+    # minutes to compile through a remote-compile tunnel
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AMG_TPU_COMPILE_CACHE",
+                                     "/tmp/amg_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     args = build_argparser().parse_args(argv)
     pars = params_from_args(args)
 
     print(f"filename: {args.matrix}")
-    a = load_matrix(args.matrix)
+    try:
+        a = load_matrix(args.matrix)
+    except FileNotFoundError:
+        # reference exits with ERROR_OPEN_FILE (amg/SSS_main.c:131-137)
+        print(f"amg_tpu: cannot open matrix file '{args.matrix}'",
+              file=sys.stderr)
+        return int(-ErrorCode.ERROR_OPEN_FILE)
+    except ValueError as exc:
+        print(f"amg_tpu: bad matrix input: {exc}", file=sys.stderr)
+        return int(-ErrorCode.ERROR_WRONG_FILE)
     print(f"A: m = {a.n_rows}, n = {a.n_cols}, nnz = {a.nnz}")
 
     if pars.verbose:

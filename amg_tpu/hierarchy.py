@@ -57,16 +57,20 @@ class Level:
     gid: Optional[jnp.ndarray]        # (pad,) int32 group id per row (Dia GS)
     rho_dinv_a: jnp.ndarray     # scalar spectral-radius estimate of D^-1 A
     group_cf: Tuple[int, ...]   # static: 1 if group holds C points
+    # static (start, size) row range per GS group when the level is
+    # color-contiguously ordered (ELL fast path: sweeps are static slices,
+    # one SpMV's work total); None -> gather-based group path
+    ranges: Optional[Tuple[Tuple[int, int], ...]] = None
 
     def tree_flatten(self):
         leaves = (self.a, self.p, self.r, self.diag, self.inv_diag,
                   self.l1_inv, self.diag_mask, self.groups, self.gid,
                   self.rho_dinv_a)
-        return leaves, (self.group_cf,)
+        return leaves, (self.group_cf, self.ranges)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, group_cf=aux[0])
+        return cls(*leaves, group_cf=aux[0], ranges=aux[1])
 
     @property
     def n(self) -> int:
@@ -111,6 +115,9 @@ class HostHierarchy:
     r: list
     cfmark: list     # list[np.ndarray]
     setup_seconds: float = 0.0
+    # per level: sorted GS class key per row (color*2 + is_C) when the level
+    # has been permuted color-contiguously by :func:`reorder_for_gs`, else None
+    gs_key: Optional[list] = None
 
     @property
     def num_levels(self) -> int:
@@ -226,6 +233,52 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
     return hh
 
 
+def reorder_for_gs(hh: HostHierarchy, pars: AMGParams) -> HostHierarchy:
+    """Permute coarse ELL-format levels color-contiguously (in place).
+
+    Rows of each level ``l >= 1`` destined for the gather-based ELL format
+    are reordered by ``(color, C/F)`` so every multicolor-GS class is a
+    contiguous row range: a GS sweep then costs one SpMV's worth of static
+    slices instead of ``n_groups`` padded gathers.  The permutation is a
+    similarity transform (``P A P^T`` plus matching P/R/cfmark updates), so
+    the hierarchy's numerics are unchanged; only the internal ordering of
+    coarse unknowns differs.  Level 0 keeps the user's ordering.
+    """
+    from .params import CGPT
+    from .setup_phase.coloring import color_graph
+
+    nl = hh.num_levels
+    hh.gs_key = [None] * nl
+    for l in range(1, nl):
+        al = hh.a[l]
+        if _use_dia(al, pars):
+            continue
+        n = al.n_rows
+        colors = color_graph(al)
+        cf = hh.cfmark[l] if l < len(hh.cfmark) else None
+        is_c = (
+            (np.asarray(cf) == CGPT).astype(np.int64)
+            if cf is not None
+            else np.zeros(n, dtype=np.int64)
+        )
+        key = colors.astype(np.int64) * 2 + is_c
+        perm = np.argsort(key, kind="stable")  # new -> old
+        hh.gs_key[l] = key[perm]
+        if np.array_equal(perm, np.arange(n, dtype=np.int64)):
+            continue
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int64)
+        hh.a[l] = al.permute(perm)
+        hh.p[l - 1] = hh.p[l - 1].permute_cols(inv)
+        hh.r[l - 1] = hh.r[l - 1].permute_rows(perm)
+        if l < nl - 1:
+            hh.p[l] = hh.p[l].permute_rows(perm)
+            hh.r[l] = hh.r[l].permute_cols(inv)
+        if l < len(hh.cfmark):
+            hh.cfmark[l] = np.asarray(hh.cfmark[l])[perm]
+    return hh
+
+
 def _use_dia(al: CSR, pars: AMGParams) -> bool:
     """Pick the DIA fast path when the operator is banded enough: few
     distinct (col-row) offsets and acceptable zero-fill."""
@@ -247,14 +300,22 @@ def _level_from_csr(
     pad_coarse: Optional[int],
     dtype,
     pars: AMGParams,
+    gs_key: Optional[np.ndarray] = None,
 ) -> Level:
     from .params import SMALLFLOAT
 
     use_dia = _use_dia(al, pars)
+    ell_cols_np = ell_vals_np = None
     if use_dia:
         a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad)
     else:
-        a_dev = Ell.from_csr(al, dtype=dtype, pad_rows_to=pad)
+        ell_cols_np, ell_vals_np = Ell.pack_host(al, pad_rows_to=pad)
+        a_dev = Ell(
+            jnp.asarray(ell_cols_np.astype(np.int32)),
+            jnp.asarray(ell_vals_np.astype(np.dtype(dtype))),
+            al.shape,
+            al.nnz,
+        )
     p_ell = Ell.from_csr(p, dtype=dtype, pad_rows_to=pad) if p is not None else None
     r_ell = (
         Ell.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse)
@@ -272,46 +333,77 @@ def _level_from_csr(
     np.add.at(l1, rows, np.abs(al.data))
     l1_inv = np.where(l1 > SMALLFLOAT, 1.0 / np.where(l1 != 0, l1, 1.0), 0.0)
 
-    groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
-
     diag_mask = None
     groups_dev = None
     gid_dev = None
+    ranges = None
     if use_dia:
         # gather-free masked GS path
-        gid_dev = jnp.asarray(gid, dtype=jnp.int32)
+        groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
+        gid_dev = jnp.asarray(np.asarray(gid, dtype=np.int32))
     else:
-        # group-gather GS path: mark diagonal slots in the ELL layout
-        cols_np = np.asarray(a_dev.cols)
-        vals_np = np.asarray(a_dev.vals)
+        # mark diagonal slots in the ELL layout (host-side numpy)
         row_ids = np.arange(a_dev.padded_rows)[:, None]
-        diag_mask = jnp.asarray((cols_np == row_ids) & (vals_np != 0))
-        groups_dev = jnp.asarray(groups, dtype=jnp.int32)
+        diag_mask = jnp.asarray((ell_cols_np == row_ids) & (ell_vals_np != 0))
+        if gs_key is not None and n and np.all(np.diff(gs_key) >= 0):
+            # color-contiguous fast path: GS groups are static row ranges
+            # (level permuted by reorder_for_gs); key = color*2 + is_C
+            bnd = np.flatnonzero(np.diff(gs_key)) + 1
+            starts = np.concatenate([[0], bnd])
+            ends = np.concatenate([bnd, [n]])
+            ranges = tuple(
+                (int(s), int(e - s)) for s, e in zip(starts, ends)
+            )
+            group_cf = [int(gs_key[s] % 2) for s in starts]
+        else:
+            # gather-based group path (unpermuted levels, e.g. level 0)
+            groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
+            groups_dev = jnp.asarray(np.asarray(groups, dtype=np.int32))
 
-    # spectral radius of D^{-1} A via a few power iterations (host)
-    rng = np.random.default_rng(0)
-    v = rng.random(n)
+    # spectral radius of D^{-1} A via a few power iterations, on device
+    # (only the Chebyshev/poly smoothers consume it)
+    from .params import SmootherType
+
     rho = 1.0
-    dinv = inv_diag[:n]
-    for _ in range(12):
-        w = dinv * al.matvec(v)
-        nw = np.linalg.norm(w)
-        if nw == 0:
-            break
-        rho = nw / max(np.linalg.norm(v), 1e-300)
-        v = w / nw
+    if pars.smoother in (SmootherType.POLY, SmootherType.CHEBYSHEV):
+        from .ops.spmv import spmv
+
+        dinv_dev = jnp.asarray(inv_diag.astype(np.dtype(dtype)))
+
+        # operator passed as argument (capture would inline it as literals)
+        @jax.jit
+        def _power(a_op, dinv, v):
+            def body(_, c):
+                v, rho = c
+                w = (dinv * spmv(a_op, v))[: v.shape[0]]
+                nw = jnp.linalg.norm(w)
+                rho = jnp.where(nw > 0, nw / jnp.maximum(
+                    jnp.linalg.norm(v), 1e-300), rho)
+                v = jnp.where(nw > 0, w / jnp.maximum(nw, 1e-300), v)
+                return (v, rho)
+
+            return jax.lax.fori_loop(
+                0, 12, body, (v, jnp.ones((), v.dtype))
+            )[1]
+
+        rng = np.random.default_rng(0)
+        v0 = jnp.asarray(
+            np.pad(rng.random(n), (0, pad - n)).astype(np.dtype(dtype))
+        )
+        rho = float(_power(a_dev, dinv_dev, v0))
     return Level(
         a=a_dev,
         p=p_ell,
         r=r_ell,
-        diag=jnp.asarray(diag, dtype=dtype),
-        inv_diag=jnp.asarray(inv_diag, dtype=dtype),
-        l1_inv=jnp.asarray(l1_inv, dtype=dtype),
+        diag=jnp.asarray(diag.astype(np.dtype(dtype))),
+        inv_diag=jnp.asarray(inv_diag.astype(np.dtype(dtype))),
+        l1_inv=jnp.asarray(l1_inv.astype(np.dtype(dtype))),
         diag_mask=diag_mask,
         groups=groups_dev,
         gid=gid_dev,
         rho_dinv_a=jnp.asarray(rho, dtype=dtype),
         group_cf=tuple(int(t) for t in group_cf),
+        ranges=ranges,
     )
 
 
@@ -327,8 +419,10 @@ def to_device(hh: HostHierarchy, pars: AMGParams) -> Hierarchy:
         r = hh.r[l] if l < nl - 1 else None
         cf = hh.cfmark[l] if l < len(hh.cfmark) else None
         pad_coarse = pads[l + 1] if l < nl - 1 else None
+        gs_key = hh.gs_key[l] if hh.gs_key is not None else None
         levels.append(
-            _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype, pars)
+            _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype,
+                            pars, gs_key=gs_key)
         )
 
     # dense inverse of the coarsest operator (tiny: <= ~coarse_dof rows)
@@ -343,7 +437,7 @@ def to_device(hh: HostHierarchy, pars: AMGParams) -> Hierarchy:
     full = np.zeros((pad_c, pad_c))
     full[: ac.n_rows, : ac.n_cols] = inv
     return Hierarchy(
-        levels=tuple(levels), coarse_inv=jnp.asarray(full, dtype=dtype)
+        levels=tuple(levels), coarse_inv=jnp.asarray(full.astype(np.dtype(dtype)))
     )
 
 
@@ -351,6 +445,8 @@ def setup(a: CSR, pars: AMGParams, log=print) -> tuple[Hierarchy, HostHierarchy]
     """Full setup: host hierarchy + device pack, with reference-format
     complexity table and timing print."""
     hh = setup_host(a, pars, log=log)
+    if pars.reorder_gs:
+        reorder_for_gs(hh, pars)
     mg = to_device(hh, pars)
     if pars.verbose:
         log(complexity_print(hh))

@@ -15,7 +15,7 @@ import numpy as np
 from ..sparse import CSR
 from ..hierarchy import HostHierarchy
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def _put_csr(out: dict, key: str, m: CSR) -> None:
@@ -50,6 +50,10 @@ def save_hierarchy(path, hh: HostHierarchy) -> None:
         _put_csr(out, f"r{l}", m)
     for l, cf in enumerate(hh.cfmark):
         out[f"cfmark{l}"] = np.asarray(cf, dtype=np.int64)
+    if hh.gs_key is not None:
+        for l, key in enumerate(hh.gs_key):
+            if key is not None:
+                out[f"gs_key{l}"] = np.asarray(key, dtype=np.int64)
     np.savez_compressed(path, **out)
 
 
@@ -57,14 +61,21 @@ def load_hierarchy(path) -> HostHierarchy:
     """Restore a host hierarchy saved by :func:`save_hierarchy`."""
     z = np.load(path)
     version = int(z["version"])
-    if version != _FORMAT_VERSION:
+    if version not in (1, _FORMAT_VERSION):
         raise ValueError(f"unsupported hierarchy checkpoint version {version}")
     nl = int(z["num_levels"])
     ncf = int(z["num_cfmarks"])
+    gs_key = None
+    if version >= 2:
+        gs_key = [
+            z[f"gs_key{l}"] if f"gs_key{l}" in z.files else None
+            for l in range(nl)
+        ]
     return HostHierarchy(
         a=[_get_csr(z, f"a{l}") for l in range(nl)],
         p=[_get_csr(z, f"p{l}") for l in range(nl - 1)],
         r=[_get_csr(z, f"r{l}") for l in range(nl - 1)],
         cfmark=[z[f"cfmark{l}"] for l in range(ncf)],
         setup_seconds=float(z["setup_seconds"]),
+        gs_key=gs_key,
     )

@@ -64,6 +64,8 @@ class _NativeLib:
         dll.std_interp_values.argtypes = [
             i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_i64, p_i32, p_i64, p_f64,
         ]
+        dll.greedy_color.restype = i64
+        dll.greedy_color.argtypes = [i64, p_i64, p_i32, p_i64]
 
     # -- wrappers ------------------------------------------------------
 
@@ -113,6 +115,17 @@ class _NativeLib:
         self._dll.std_interp_values(
             a.n_rows, ap, aj, av, sp, sj, pp, pj, v, p.data
         )
+
+    def greedy_color(self, a):
+        """Greedy sequential coloring of A's symmetrized pattern.
+
+        Returns ``(colors int64[n], n_colors)``.
+        """
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        colors = np.zeros(a.n_rows, dtype=np.int64)
+        nc = self._dll.greedy_color(a.n_rows, ap, aj, colors)
+        return colors, int(nc)
 
 
 def _load() -> _NativeLib | None:

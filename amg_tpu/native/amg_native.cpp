@@ -431,4 +431,53 @@ int32_t std_interp_values(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Greedy sequential graph coloring over the symmetrized pattern of A.
+//
+// Rows of one color are mutually independent, so a vectorized update of a
+// color class is exact Gauss-Seidel in the colored ordering (the TPU answer
+// to the reference's sequential GS, amg/Solve/SSS_smooth.c:90-137).  Greedy
+// first-fit in row order gives <= maxdeg+1 colors in O(nnz); the transpose
+// pattern is built internally (counting sort) so asymmetric patterns are
+// colored correctly.
+// ---------------------------------------------------------------------------
+
+int64_t greedy_color(
+    int64_t n,
+    const int64_t* ap, const int32_t* aj,
+    int64_t* colors)
+{
+    const int64_t nnz = ap[n];
+    // transpose pattern via counting sort
+    std::vector<int64_t> tp((size_t)n + 1, 0);
+    std::vector<int32_t> tj((size_t)nnz);
+    for (int64_t k = 0; k < nnz; ++k) tp[(size_t)aj[k] + 1]++;
+    for (int64_t j = 0; j < n; ++j) tp[(size_t)j + 1] += tp[(size_t)j];
+    {
+        std::vector<int64_t> next(tp.begin(), tp.end() - 1);
+        for (int64_t i = 0; i < n; ++i)
+            for (int64_t k = ap[i]; k < ap[i + 1]; ++k)
+                tj[(size_t)next[(size_t)aj[k]]++] = (int32_t)i;
+    }
+
+    std::vector<int64_t> mark((size_t)n + 1, -1);  // mark[c]==i: color c taken
+    for (int64_t i = 0; i < n; ++i) colors[i] = -1;
+    int64_t ncolors = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = ap[i]; j < ap[i + 1]; ++j) {
+            const int64_t k = aj[j];
+            if (k != i && k < n && colors[k] >= 0) mark[(size_t)colors[k]] = i;
+        }
+        for (int64_t j = tp[(size_t)i]; j < tp[(size_t)i + 1]; ++j) {
+            const int64_t k = tj[(size_t)j];
+            if (k != i && colors[k] >= 0) mark[(size_t)colors[k]] = i;
+        }
+        int64_t c = 0;
+        while (mark[(size_t)c] == i) ++c;
+        colors[i] = c;
+        if (c + 1 > ncolors) ncolors = c + 1;
+    }
+    return ncolors;
+}
+
 }  // extern "C"

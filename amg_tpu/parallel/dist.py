@@ -122,6 +122,7 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
             gid=put(level.gid),
             rho_dinv_a=put(level.rho_dinv_a),
             group_cf=level.group_cf,
+            ranges=level.ranges,
         )
 
     def shard_rows(arr):
@@ -166,6 +167,7 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
         ),
         rho_dinv_a=jax.device_put(level.rho_dinv_a, _replicated(mesh)),
         group_cf=level.group_cf,
+        ranges=level.ranges,
     )
 
 
@@ -224,14 +226,15 @@ class DistAMGSolver:
         from ..ops.spmv import spmv
         from ..ops.blas import norm2
 
-        mg_s = self.mg
-
-        def _step(x, b):
-            x = cycle(mg_s, x, b, pars)
-            r = b - spmv(mg_s.levels[0].a, x)
+        # hierarchy passed as a jit argument (closure capture would inline
+        # every operator into the HLO as a literal constant)
+        def _step_fn(mg, x, b):
+            x = cycle(mg, x, b, pars)
+            r = b - spmv(mg.levels[0].a, x)
             return x, norm2(r)
 
-        self._step = jax.jit(_step)
+        self._step_fn = jax.jit(_step_fn)
+        self._step = lambda x, b: self._step_fn(self.mg, x, b)
 
     def _pad_vec(self, v):
         out = np.zeros(self.pad, dtype=self.dtype)

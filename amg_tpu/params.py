@@ -152,6 +152,9 @@ class AMGParams:
     # Device-format selection (TPU fast path)
     max_diags: int = 96           # use DIA when distinct offsets <= this
     max_dia_fill: float = 6.0     # ... and nd*n/nnz <= this
+    # Permute coarse ELL levels color-contiguously so GS sweeps are static
+    # row-range slices (one SpMV's work) instead of padded gathers
+    reorder_gs: bool = True
     # Multi-device settings
     coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
 

@@ -25,12 +25,17 @@ from ..sparse import CSR
 
 
 def color_graph(a: CSR, seed: int = 7, max_rounds: int = 10000) -> np.ndarray:
-    """Jones-Plassmann-Luby coloring of the symmetrized pattern of A.
+    """Color the symmetrized pattern of A so no adjacent rows share a color.
 
-    Vectorized rounds: in each round, every uncolored node whose random
-    priority beats all uncolored neighbors takes the smallest color unused
-    by its neighbors.  Returns int colors[n] >= 0.
+    Fast path: native C++ greedy first-fit coloring (O(nnz), <= maxdeg+1
+    colors).  Fallback: vectorized Jones-Plassmann-Luby rounds.  Returns int
+    colors[n] >= 0.
     """
+    from ..native import lib
+
+    if lib is not None:
+        colors, _ = lib.greedy_color(a)
+        return colors
     n = a.n_rows
     rows = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
     cols = a.indices.astype(np.int64)

@@ -66,16 +66,18 @@ class AMGSolver:
         self.pad = self.mg.levels[0].pad
         self.dtype = jnp.dtype(pars.dtype)
 
-        mg = self.mg
-
-        def _step(x, b):
+        # the hierarchy is a jit ARGUMENT, not a closure capture: captured
+        # arrays would be inlined into the HLO as literal constants (at 1M
+        # rows that is a multi-hundred-MB program)
+        def _step_fn(mg, x, b):
             x = cycle(mg, x, b, pars)
             r = b - spmv(mg.levels[0].a, x)
             return x, norm2(r)
 
-        self._step = jax.jit(_step)
+        self._step_fn = jax.jit(_step_fn)
+        self._step = lambda x, b: self._step_fn(self.mg, x, b)
 
-        def _solve_full(x, b, sumb):
+        def _solve_full(mg, x, b, sumb):
             tol = pars.tol
 
             def cond(c):
@@ -84,7 +86,7 @@ class AMGSolver:
 
             def body(c):
                 x, it, absres, hist = c
-                x, absres = _step(x, b)
+                x, absres = _step_fn(mg, x, b)
                 hist = hist.at[it + 1].set(absres)
                 return (x, it + 1, absres, hist)
 
@@ -94,7 +96,10 @@ class AMGSolver:
             x, nits, absres, hist = jax.lax.while_loop(cond, body, init)
             return x, nits, absres, hist
 
-        self._solve_full = jax.jit(_solve_full)
+        self._solve_full_fn = jax.jit(_solve_full)
+        self._solve_full = lambda x, b, sumb: self._solve_full_fn(
+            self.mg, x, b, sumb
+        )
 
     # ------------------------------------------------------------------
 

@@ -72,11 +72,42 @@ def _group_update(level, x, b, idx, relax=None):
     return x.at[idx].set(new, mode="drop")
 
 
+def _range_update(level, x, b, start: int, size: int, relax=None):
+    """Gauss-Seidel update of one color-contiguous row range (static slice).
+
+    Used when the level was permuted by ``reorder_for_gs``: rows
+    ``[start, start+size)`` form one independent class, so the update is
+    exact GS with no index gather, no scatter, and no padding waste — one
+    full sweep over all ranges costs one SpMV's worth of work.
+    """
+    a = level.a
+    w = a.cols.shape[1]
+    sub_cols = jax.lax.slice(a.cols, (start, 0), (start + size, w))
+    sub_vals = jax.lax.slice(a.vals, (start, 0), (start + size, w))
+    sub_dmask = jax.lax.slice(level.diag_mask, (start, 0), (start + size, w))
+    gathered = x[sub_cols]
+    off = jnp.where(sub_dmask, jnp.zeros((), a.vals.dtype), sub_vals)
+    t = jax.lax.slice(b, (start,), (start + size,)) - jnp.sum(
+        off * gathered, axis=1
+    )
+    invd = jax.lax.slice(level.inv_diag, (start,), (start + size,))
+    new = t * invd
+    old = jax.lax.slice(x, (start,), (start + size,))
+    if relax is not None:
+        new = (1.0 - relax) * old + relax * new
+    new = jnp.where(invd != 0, new, old)
+    return jax.lax.dynamic_update_slice(x, new, (start,))
+
+
 def gs_sweep(level, x, b, order, relax=None):
     """One GS sweep over groups in the given (static) order."""
     if isinstance(level.a, Dia):
         for g in order:
             x = _masked_group_update(level, x, b, g, relax=relax)
+    elif level.ranges is not None:
+        for g in order:
+            start, size = level.ranges[g]
+            x = _range_update(level, x, b, start, size, relax=relax)
     else:
         for g in order:
             x = _group_update(level, x, b, level.groups[g], relax=relax)

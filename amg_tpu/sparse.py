@@ -184,6 +184,40 @@ class CSR:
             self.indptr.copy(), self.indices.copy(), self.data.copy(), self.shape
         )
 
+    # -- permutations (vectorized) -------------------------------------------
+
+    def permute_rows(self, perm: np.ndarray) -> "CSR":
+        """Rows reordered: new row ``i`` is old row ``perm[i]``."""
+        perm = np.asarray(perm, dtype=np.int64)
+        deg = self.row_degrees
+        new_deg = deg[perm]
+        new_indptr = np.zeros(self.n_rows + 1, dtype=np.int64)
+        np.cumsum(new_deg, out=new_indptr[1:])
+        # source slot of each output nnz
+        pos = np.arange(int(new_indptr[-1]), dtype=np.int64) - np.repeat(
+            new_indptr[:-1], new_deg
+        )
+        src = np.repeat(self.indptr[perm], new_deg) + pos
+        return CSR(new_indptr, self.indices[src], self.data[src], self.shape)
+
+    def permute_cols(self, col_map: np.ndarray) -> "CSR":
+        """Columns relabeled: old column ``c`` becomes ``col_map[c]``."""
+        col_map = np.asarray(col_map, dtype=np.int64)
+        return CSR(
+            self.indptr.copy(),
+            col_map[self.indices].astype(np.int32),
+            self.data.copy(),
+            self.shape,
+        )
+
+    def permute(self, perm: np.ndarray) -> "CSR":
+        """Symmetric permutation ``P A P^T`` of a square matrix: new index
+        ``i`` is old index ``perm[i]``."""
+        perm = np.asarray(perm, dtype=np.int64)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int64)
+        return self.permute_rows(perm).permute_cols(inv)
+
 
 # ---------------------------------------------------------------------------
 # Device ELL
@@ -235,14 +269,13 @@ class Ell:
         return self.cols.shape[1]
 
     @staticmethod
-    def from_csr(
+    def pack_host(
         a: CSR,
-        dtype=jnp.float64,
         row_multiple: int = 8,
         width_multiple: int = 1,
         pad_rows_to: int | None = None,
-    ) -> "Ell":
-        """Convert host CSR to padded ELL (host-side packing, one device put)."""
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pack a host CSR into padded ELL numpy arrays ``(cols, vals)``."""
         n_rows, n_cols = a.shape
         deg = a.row_degrees
         width = max(int(deg.max()) if n_rows else 1, 1)
@@ -263,11 +296,24 @@ class Ell:
         pos = np.arange(a.nnz, dtype=np.int64) - np.repeat(a.indptr[:-1], deg)
         cols[rows, pos] = a.indices
         vals[rows, pos] = a.data
+        return cols, vals
 
+    @staticmethod
+    def from_csr(
+        a: CSR,
+        dtype=jnp.float64,
+        row_multiple: int = 8,
+        width_multiple: int = 1,
+        pad_rows_to: int | None = None,
+    ) -> "Ell":
+        """Convert host CSR to padded ELL (host-side packing, one device put)."""
+        cols, vals = Ell.pack_host(a, row_multiple, width_multiple, pad_rows_to)
+        # cast on host: jnp.asarray(x, dtype=...) would compile+run an XLA
+        # convert per distinct shape
         return Ell(
-            jnp.asarray(cols, dtype=jnp.int32),
-            jnp.asarray(vals, dtype=dtype),
-            (n_rows, n_cols),
+            jnp.asarray(cols.astype(np.int32)),
+            jnp.asarray(vals.astype(np.dtype(dtype))),
+            a.shape,
             a.nnz,
         )
 
@@ -361,7 +407,7 @@ class Dia:
         vals[dpos, rows] = 0.0  # ensure slots exist
         np.add.at(vals, (dpos, rows), a.data)
         return Dia(
-            jnp.asarray(vals, dtype=dtype),
+            jnp.asarray(vals.astype(np.dtype(dtype))),
             tuple(int(o) for o in uniq),
             (n_rows, n_cols),
             a.nnz,

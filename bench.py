@@ -43,6 +43,14 @@ def main():
     smoother_name = os.environ.get("AMG_BENCH_SMOOTHER", "GS")
 
     import jax
+
+    # persistent compile cache: the unrolled V-cycle program is expensive to
+    # compile (minutes through a remote-compile tunnel); cache across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AMG_TPU_COMPILE_CACHE",
+                                     "/tmp/amg_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
     import amg_tpu as amg
     from amg_tpu.ops.spmv import spmv
@@ -76,26 +84,38 @@ def main():
     b = np.ones(a.n_rows)
 
     # -- SpMV microbenchmark (level-0 operator) -------------------------
+    # chain the dependent SpMVs INSIDE one jitted program so the
+    # measurement is device execution time, not per-call host dispatch
+    # latency (which dominates through a remote-execution relay)
     e = solver.mg.levels[0].a
     x = jnp.ones(solver.pad, dtype=solver.dtype)
-    f = jax.jit(lambda x: spmv(e, x) * (1.0 / n_side))
-    y = f(x)
-    y.block_until_ready()
     reps = 50
+
+    def _chain(a_op, x):
+        # static unroll: device control flow is pathological on the relay
+        for _ in range(reps):
+            x = spmv(a_op, x) * (1.0 / n_side)
+        return x
+
+    f = jax.jit(_chain)
+    y = f(e, x)
+    y.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = f(y)
+    y = f(e, y)
     y.block_until_ready()
     spmv_s = (time.perf_counter() - t0) / reps
     spmv_nnz_s = a.nnz / spmv_s
     log(f"spmv: {spmv_s*1e3:.3f} ms -> {spmv_nnz_s/1e9:.3f} Gnnz/s, "
         f"{2*a.nnz/spmv_s/1e9:.2f} GFLOP/s")
 
-    # -- full solve (jitted while_loop; warm up compile first) ----------
-    xw, info_w = solver.solve_jit(b)
+    # -- full solve (host loop over the jitted cycle+residual step; one
+    # device sync per iteration — the jitted-while_loop variant
+    # (solve_jit) is equivalent on direct-attached TPUs but pathological
+    # through the remote-execution relay used in this environment) -------
+    xw, info_w = solver.solve(b)
     log(f"warmup solve: {info_w.nits} its, rres {info_w.rres:.2e}, "
         f"{info_w.solve_seconds:.2f}s (includes compile)")
-    x_sol, info = solver.solve_jit(b)
+    x_sol, info = solver.solve(b)
     log(f"solve: {info.nits} its, rres {info.rres:.2e}, "
         f"{info.solve_seconds:.3f}s")
 

@@ -271,3 +271,54 @@ def test_tight_tolerance_1e8():
     x, info = solver.solve(b)
     r = b - a.matvec(x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_range_gs_matches_gather_gs():
+    """The color-contiguous range GS (reorder_gs levels) computes the same
+    sweep as the gather-based group GS on the permuted matrix."""
+    import jax.numpy as jnp
+    from amg_tpu.setup_phase.coloring import color_graph
+    from amg_tpu.hierarchy import _level_from_csr
+
+    a = amg.poisson2d(7)
+    n = a.n_rows
+    colors = color_graph(a)
+    key = colors.astype(np.int64) * 2
+    perm = np.argsort(key, kind="stable")
+    ap = a.permute(perm)
+    gs_key = key[perm]
+
+    pars = AMGParams(max_diags=0)  # force ELL
+    pad = ((n + 7) // 8) * 8
+    lvl_rng = _level_from_csr(ap, None, None, None, pad, None,
+                              jnp.float64, pars, gs_key=gs_key)
+    lvl_gat = _level_from_csr(ap, None, None, None, pad, None,
+                              jnp.float64, pars)
+    assert lvl_rng.ranges is not None and lvl_gat.ranges is None
+
+    rng_ = np.random.default_rng(5)
+    x = np.zeros(pad); x[:n] = rng_.standard_normal(n)
+    b = np.zeros(pad); b[:n] = rng_.standard_normal(n)
+
+    # range path sweeps classes in range order == sorted key order
+    y1 = np.asarray(gs_sweep(lvl_rng, jnp.asarray(x), jnp.asarray(b),
+                             tuple(range(len(lvl_rng.ranges)))))
+    # oracle: sequential GS in permuted row order (rows already sorted by key)
+    want = _gs_oracle(ap, x[:n], b[:n], list(range(n)))
+    np.testing.assert_allclose(y1[:n], want, rtol=1e-12, atol=1e-13)
+
+
+def test_reorder_gs_solve_equivalent():
+    """reorder_gs=True converges like the unpermuted hierarchy and returns
+    the solution in the user's ordering."""
+    a = amg.poisson3d(12)
+    b = np.random.default_rng(1).standard_normal(a.n_rows)
+    xs = {}
+    for reorder in (False, True):
+        pars = AMGParams(tol=1e-10, verbose=0, reorder_gs=reorder)
+        s = amg.AMGSolver(a, pars, log=lambda *a: None)
+        x, info = s.solve(b)
+        r = b - a.matvec(x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+        xs[reorder] = x
+    np.testing.assert_allclose(xs[False], xs[True], rtol=1e-7, atol=1e-9)
