@@ -89,6 +89,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--trunc-threshold", type=float, default=d.trunc_threshold)
     ap.add_argument("--dtype", type=str, default=d.dtype,
                     choices=["float32", "float64"])
+    ap.add_argument("--refine", action="store_true",
+                    help="mixed-precision defect correction: cycles in "
+                         "--dtype, f64 outer residual")
+    ap.add_argument("--refine-inner", type=int, default=d.refine_inner_cycles)
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -114,6 +118,8 @@ def params_from_args(args) -> AMGParams:
         strong_threshold=args.strong_threshold,
         trunc_threshold=args.trunc_threshold,
         dtype=args.dtype,
+        refine=args.refine,
+        refine_inner_cycles=args.refine_inner,
         verbose=0 if args.quiet else 1,
     )
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .params import AMGParams, CoarsenType, InterpType, MIN_CDOF
-from .sparse import CSR, Ell, Dia, _round_up
+from .sparse import CSR, Ell, Dia, Dense, _round_up
 from .setup_phase.strength import strength_matrix
 from .setup_phase.cf_split import rs_split, pmis_split, clean_ff_couplings
 from .setup_phase.interp import build_interpolation
@@ -251,7 +251,7 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams) -> HostHierarchy:
     hh.gs_key = [None] * nl
     for l in range(1, nl):
         al = hh.a[l]
-        if _use_dia(al, pars):
+        if _pick_format(al, pars) == "dia":
             continue
         n = al.n_rows
         colors = color_graph(al)
@@ -291,6 +291,23 @@ def _use_dia(al: CSR, pars: AMGParams) -> bool:
     return fill <= pars.max_dia_fill
 
 
+def _pick_format(al: CSR, pars: AMGParams) -> str:
+    """Device format for a level operator: 'dia' | 'dense' | 'ell'.
+
+    DIA (gather-free VPU streaming) when banded; Dense (MXU matvec, zero
+    gathers) when the dense footprint fits the budget — deep levels are
+    small but nearly dense; padded-ELL gathers otherwise.
+    """
+    if _use_dia(al, pars):
+        return "dia"
+    itemsize = np.dtype(pars.dtype).itemsize
+    if al.n_rows == al.n_cols and (
+        al.n_rows * al.n_cols * itemsize <= pars.dense_level_bytes
+    ):
+        return "dense"
+    return "ell"
+
+
 def _level_from_csr(
     al: CSR,
     p: Optional[CSR],
@@ -304,10 +321,13 @@ def _level_from_csr(
 ) -> Level:
     from .params import SMALLFLOAT
 
-    use_dia = _use_dia(al, pars)
+    fmt = _pick_format(al, pars)
     ell_cols_np = ell_vals_np = None
-    if use_dia:
+    if fmt == "dia":
         a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad)
+    elif fmt == "dense":
+        a_dev = Dense.from_csr(al, dtype=dtype, pad_rows_to=pad,
+                               pad_cols_to=pad)
     else:
         ell_cols_np, ell_vals_np = Ell.pack_host(al, pad_rows_to=pad)
         a_dev = Ell(
@@ -337,28 +357,28 @@ def _level_from_csr(
     groups_dev = None
     gid_dev = None
     ranges = None
-    if use_dia:
-        # gather-free masked GS path
-        groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
-        gid_dev = jnp.asarray(np.asarray(gid, dtype=np.int32))
-    else:
+    if fmt == "ell":
         # mark diagonal slots in the ELL layout (host-side numpy)
         row_ids = np.arange(a_dev.padded_rows)[:, None]
         diag_mask = jnp.asarray((ell_cols_np == row_ids) & (ell_vals_np != 0))
-        if gs_key is not None and n and np.all(np.diff(gs_key) >= 0):
-            # color-contiguous fast path: GS groups are static row ranges
-            # (level permuted by reorder_for_gs); key = color*2 + is_C
-            bnd = np.flatnonzero(np.diff(gs_key)) + 1
-            starts = np.concatenate([[0], bnd])
-            ends = np.concatenate([bnd, [n]])
-            ranges = tuple(
-                (int(s), int(e - s)) for s, e in zip(starts, ends)
-            )
-            group_cf = [int(gs_key[s] % 2) for s in starts]
-        else:
-            # gather-based group path (unpermuted levels, e.g. level 0)
-            groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
-            groups_dev = jnp.asarray(np.asarray(groups, dtype=np.int32))
+    if gs_key is not None and n and np.all(np.diff(gs_key) >= 0):
+        # color-contiguous fast path: GS groups are static row ranges
+        # (level permuted by reorder_for_gs); key = color*2 + is_C
+        bnd = np.flatnonzero(np.diff(gs_key)) + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [n]])
+        ranges = tuple(
+            (int(s), int(e - s)) for s, e in zip(starts, ends)
+        )
+        group_cf = [int(gs_key[s] % 2) for s in starts]
+    elif fmt in ("dia", "dense"):
+        # gather-free masked GS path (full-operator product + class mask)
+        groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
+        gid_dev = jnp.asarray(np.asarray(gid, dtype=np.int32))
+    else:
+        # gather-based group path (unpermuted ELL levels, e.g. level 0)
+        groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
+        groups_dev = jnp.asarray(np.asarray(groups, dtype=np.int32))
 
     # spectral radius of D^{-1} A via a few power iterations, on device
     # (only the Chebyshev/poly smoothers consume it)
@@ -411,7 +431,13 @@ def to_device(hh: HostHierarchy, pars: AMGParams) -> Hierarchy:
     """Pack the host hierarchy into device pytrees."""
     dtype = jnp.dtype(pars.dtype)
     nl = hh.num_levels
-    pads = [_round_up(max(m.n_rows, 1), 8) for m in hh.a]
+    # dense levels pad to the 128-lane boundary so the level's vectors are
+    # directly usable as matvec operands
+    pads = [
+        _round_up(max(m.n_rows, 1),
+                  128 if _pick_format(m, pars) == "dense" else 8)
+        for m in hh.a
+    ]
 
     levels = []
     for l in range(nl):

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..sparse import Ell, Dia
+from ..sparse import Ell, Dia, Dense
 
 
 def spmv_ell(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
@@ -50,11 +50,18 @@ def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def spmv_dense(a: Dense, x: jnp.ndarray) -> jnp.ndarray:
+    """Dense matvec on the MXU (small deep levels; no gathers)."""
+    return a.vals @ x[: a.padded_cols]
+
+
 def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x. Returns a vector of length ``a.padded_rows`` (padding rows
     produce zeros because their values are zero).  Dispatches on format."""
     if isinstance(a, Dia):
         return spmv_dia(a, x)
+    if isinstance(a, Dense):
+        return spmv_dense(a, x)
     return spmv_ell(a, x)
 
 

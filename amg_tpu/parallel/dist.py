@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hierarchy import Hierarchy, Level
 from ..params import AMGParams
-from ..sparse import Ell, Dia
+from ..sparse import Ell, Dia, Dense
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -108,6 +108,8 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
                 return None
             if isinstance(m, Dia):
                 return Dia(put(m.vals), m.offsets, m.shape, m.nnz)
+            if isinstance(m, Dense):
+                return Dense(put(m.vals), m.shape, m.nnz)
             return Ell(put(m.cols), put(m.vals), m.shape, m.nnz)
 
         return Level(
@@ -140,6 +142,14 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
                 d.vals, NamedSharding(mesh, P(None, "x"))
             )
             return Dia(vals, d.offsets, d.shape, d.nnz)
+        if isinstance(m, Dense):
+            pr = m.padded_rows
+            target = ((pr + ndev - 1) // ndev) * ndev
+            vals = m.vals
+            if target != pr:
+                vals = jnp.pad(vals, ((0, target - pr), (0, 0)))
+            vals = jax.device_put(vals, _row_sharding(mesh, 2))
+            return Dense(vals, m.shape, m.nnz)
         e = _pad_rows_multiple(m, ndev)
         return Ell(
             jax.device_put(e.cols, _row_sharding(mesh, 2)),

@@ -155,6 +155,17 @@ class AMGParams:
     # Permute coarse ELL levels color-contiguously so GS sweeps are static
     # row-range slices (one SpMV's work) instead of padded gathers
     reorder_gs: bool = True
+    # Densify a level (MXU matvec, zero gathers) when its dense footprint
+    # n_rows*n_cols*dtype_size fits this budget (deep levels are small but
+    # nearly dense; gathers are the TPU's weakest op)
+    dense_level_bytes: float = 2e9
+    # Mixed-precision defect correction: run the V-cycles in `dtype`
+    # (f32/bf16 — MXU/VPU native) but iterate the correction against an
+    # f64 level-0 residual, reaching f64-grade tolerances (e.g. 1e-8) at
+    # low-precision speed.  TPU answer to the reference's all-double
+    # arithmetic (SURVEY.md section 7 hard part 4).
+    refine: bool = False
+    refine_inner_cycles: int = 4
     # Multi-device settings
     coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
 

@@ -101,6 +101,45 @@ class AMGSolver:
             self.mg, x, b, sumb
         )
 
+        # -- mixed-precision defect correction --------------------------
+        self.a0_hi = None
+        if pars.refine and self.dtype != jnp.float64:
+            from ..hierarchy import _pick_format
+            from ..sparse import Dia, Dense, Ell
+
+            fmt = _pick_format(a, pars)
+            if fmt == "dia":
+                self.a0_hi = Dia.from_csr(a, dtype=jnp.float64,
+                                          pad_rows_to=self.pad)
+            elif fmt == "dense":
+                self.a0_hi = Dense.from_csr(a, dtype=jnp.float64,
+                                            pad_rows_to=self.pad,
+                                            pad_cols_to=self.pad)
+            else:
+                self.a0_hi = Ell.from_csr(a, dtype=jnp.float64,
+                                          pad_rows_to=self.pad)
+
+            k = max(pars.refine_inner_cycles, 1)
+
+            def _refine_step(mg, a_hi, x_hi, b_hi):
+                """One defect-correction iteration: f64 residual, k f32
+                cycles on the scaled defect, f64 update."""
+                r_hi = b_hi - spmv(a_hi, x_hi)[: b_hi.shape[0]]
+                rn = norm2(r_hi)
+                scale = jnp.where(rn > 0, rn, 1.0)
+                r_lo = (r_hi / scale).astype(self.dtype)
+                e = jnp.zeros_like(r_lo)
+                for _ in range(k):
+                    e = cycle(mg, e, r_lo, pars)
+                x_hi = x_hi + e.astype(jnp.float64) * scale
+                r2 = b_hi - spmv(a_hi, x_hi)[: b_hi.shape[0]]
+                return x_hi, norm2(r2)
+
+            self._refine_step_fn = jax.jit(_refine_step)
+            self._refine_step = lambda x, b: self._refine_step_fn(
+                self.mg, self.a0_hi, x, b
+            )
+
     # ------------------------------------------------------------------
 
     def _pad_vec(self, v) -> jnp.ndarray:
@@ -110,6 +149,8 @@ class AMGSolver:
 
     def solve(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Host-loop solve with live residual table (reference parity)."""
+        if self.a0_hi is not None:
+            return self.solve_refined(b, x0)
         pars = self.pars
         n = self.a.n_rows
         bd = self._pad_vec(b)
@@ -126,16 +167,80 @@ class AMGSolver:
 
         absres0 = sumb
         info.residuals.append(sumb)
+        # With the live table (verbose) every iteration syncs its residual
+        # to the host.  Quiet mode keeps residuals on device and fetches
+        # them in batches: a device->host sync is expensive (tens of ms
+        # through a remote-execution relay), dispatches are cheap.
+        check_every = 1 if pars.verbose else 4
+        pending: list = []  # (it, device x, device absres)
+        stop = False
         for it in range(1, pars.max_it + 1):
             xd, absres_d = self._step(xd, bd)
+            pending.append((it, xd, absres_d))
+            if len(pending) >= check_every or it == pars.max_it:
+                batch = jnp.stack([r for _, _, r in pending])
+                vals = np.asarray(batch)  # one sync for the whole batch
+                for (it_i, x_i, _), absres in zip(pending, vals):
+                    absres = float(absres)
+                    relres = absres / sumb
+                    factor = absres / absres0
+                    absres0 = absres
+                    if pars.verbose:
+                        print_itinfo(pars.stop_type, it_i, relres, absres,
+                                     factor, log=self.log)
+                    info.ares, info.rres, info.nits = absres, relres, it_i
+                    info.residuals.append(absres)
+                    if relres < pars.tol:
+                        xd = x_i  # the iterate that met the tolerance
+                        stop = True
+                        break
+                pending = []
+            if stop:
+                break
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        if pars.verbose:
+            self.log(f"AMG solve time: {info.solve_seconds:g} s")
+        return np.asarray(xd[:n]), info
+
+    def solve_refined(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
+        """Mixed-precision defect correction: k low-precision cycles per
+        f64 residual update, iterated until the f64 relative residual
+        meets ``tol``.  ``info.nits`` counts cycles for comparability with
+        :meth:`solve`."""
+        pars = self.pars
+        n = self.a.n_rows
+        k = max(pars.refine_inner_cycles, 1)
+
+        b_hi = np.zeros(self.pad)
+        b_hi[:n] = np.asarray(b, dtype=np.float64)[:n]
+        x_hi = np.zeros(self.pad)
+        if x0 is not None:
+            x_hi[:n] = np.asarray(x0, dtype=np.float64)[:n]
+        b_hi = jnp.asarray(b_hi)
+        x_hi = jnp.asarray(x_hi)
+
+        info = SolveInfo()
+        sumb = float(jnp.linalg.norm(b_hi))
+        t0 = time.perf_counter()
+        if pars.verbose:
+            print_itinfo(pars.stop_type, 0, 1.0, sumb, 0.0, log=self.log)
+        if sumb == 0.0:
+            return np.zeros(n), info
+
+        absres0 = sumb
+        info.residuals.append(sumb)
+        max_outer = max(pars.max_it // k, 1)
+        for outer in range(1, max_outer + 1):
+            x_hi, absres_d = self._refine_step(x_hi, b_hi)
             absres = float(absres_d)
             relres = absres / sumb
-            factor = absres / absres0
+            factor = (absres / absres0) ** (1.0 / k)
             absres0 = absres
             if pars.verbose:
-                print_itinfo(pars.stop_type, it, relres, absres, factor,
-                             log=self.log)
-            info.ares, info.rres, info.nits = absres, relres, it
+                print_itinfo(pars.stop_type, outer * k, relres, absres,
+                             factor, log=self.log)
+            info.ares, info.rres, info.nits = absres, relres, outer * k
             info.residuals.append(absres)
             if relres < pars.tol:
                 break
@@ -143,7 +248,7 @@ class AMGSolver:
         info.setup_seconds = self.host_hierarchy.setup_seconds
         if pars.verbose:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
-        return np.asarray(xd[:n]), info
+        return np.asarray(x_hi[:n]), info
 
     def solve_jit(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Fully-jitted solve (no per-iteration host sync)."""

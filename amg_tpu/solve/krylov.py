@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SMALLFLOAT
-from ..sparse import Ell, Dia
+from ..sparse import Ell, Dia, Dense
 from ..ops.spmv import spmv
 from ..ops.blas import dot, norm2
 
 
 def _as_op(a):
-    if isinstance(a, (Ell, Dia)):
+    if isinstance(a, (Ell, Dia, Dense)):
         return lambda v: spmv(a, v)
     return a
 

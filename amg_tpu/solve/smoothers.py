@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SmootherType
-from ..sparse import Dia
+from ..sparse import Dia, Dense
 
 
 def _masked_group_update(level, x, b, g: int, relax=None):
@@ -99,15 +99,37 @@ def _range_update(level, x, b, start: int, size: int, relax=None):
     return jax.lax.dynamic_update_slice(x, new, (start,))
 
 
+def _range_update_dense(level, x, b, start: int, size: int, relax=None):
+    """Range GS update on a Dense level: one static-slice MXU matvec.
+
+    Within a color class A has no intra-class couplings, so the full-row
+    product plus add-back of the diagonal term is the exact GS update.
+    """
+    a = level.a
+    sub = jax.lax.slice(a.vals, (start, 0), (start + size, a.padded_cols))
+    ax = sub @ x[: a.padded_cols]
+    bs = jax.lax.slice(b, (start,), (start + size,))
+    ds = jax.lax.slice(level.diag, (start,), (start + size,))
+    invd = jax.lax.slice(level.inv_diag, (start,), (start + size,))
+    old = jax.lax.slice(x, (start,), (start + size,))
+    new = (bs - ax + ds * old) * invd
+    if relax is not None:
+        new = (1.0 - relax) * old + relax * new
+    new = jnp.where(invd != 0, new, old)
+    return jax.lax.dynamic_update_slice(x, new, (start,))
+
+
 def gs_sweep(level, x, b, order, relax=None):
     """One GS sweep over groups in the given (static) order."""
-    if isinstance(level.a, Dia):
-        for g in order:
-            x = _masked_group_update(level, x, b, g, relax=relax)
-    elif level.ranges is not None:
+    if level.ranges is not None:
+        upd = (_range_update_dense if isinstance(level.a, Dense)
+               else _range_update)
         for g in order:
             start, size = level.ranges[g]
-            x = _range_update(level, x, b, start, size, relax=relax)
+            x = upd(level, x, b, start, size, relax=relax)
+    elif isinstance(level.a, (Dia, Dense)):
+        for g in order:
+            x = _masked_group_update(level, x, b, g, relax=relax)
     else:
         for g in order:
             x = _group_update(level, x, b, level.groups[g], relax=relax)

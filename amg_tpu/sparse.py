@@ -326,6 +326,81 @@ class Ell:
 
 
 # ---------------------------------------------------------------------------
+# Device Dense format (small levels -> MXU)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Dense:
+    """Densified operator for small grid levels.
+
+    Deep AMG levels are small (thousands of rows) but nearly dense
+    (hundreds of nnz/row after repeated Galerkin products), which makes
+    gather-based sparse formats pointless: a dense matvec streams the
+    operator once and runs on the MXU with zero gathers.  Replaces the
+    reference's CSR SpMV (amg/SSS_utils.c:182-201) for levels whose dense
+    footprint fits ``AMGParams.dense_level_bytes``.
+    """
+
+    vals: jnp.ndarray           # (pr, pc) dtype
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.vals,), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (vals,) = children
+        shape, nnz = aux
+        return cls(vals, shape, nnz)
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def padded_cols(self) -> int:
+        return self.vals.shape[1]
+
+    @staticmethod
+    def from_csr(
+        a: CSR,
+        dtype=jnp.float64,
+        row_multiple: int = 8,
+        pad_rows_to: int | None = None,
+        pad_cols_to: int | None = None,
+    ) -> "Dense":
+        n_rows, n_cols = a.shape
+        pr = _round_up(max(n_rows, 1), row_multiple)
+        if pad_rows_to is not None:
+            pr = max(pr, pad_rows_to)
+        pc = _round_up(max(n_cols, 1), 128)  # lane-aligned
+        if pad_cols_to is not None:
+            pc = max(pc, pad_cols_to)
+        vals = np.zeros((pr, pc), dtype=np.dtype(dtype))
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
+        np.add.at(vals, (rows, a.indices.astype(np.int64)),
+                  a.data.astype(np.dtype(dtype)))
+        return Dense(jnp.asarray(vals), (n_rows, n_cols), a.nnz)
+
+    def to_csr(self) -> CSR:
+        vals = np.asarray(self.vals, dtype=np.float64)
+        sub = vals[: self.n_rows, : self.n_cols]
+        rr, cc = np.nonzero(sub)
+        return CSR.from_coo(rr, cc, sub[rr, cc], self.shape)
+
+
+# ---------------------------------------------------------------------------
 # Device DIA (diagonal-offset) format
 # ---------------------------------------------------------------------------
 

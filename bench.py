@@ -28,9 +28,12 @@ import time
 import numpy as np
 
 
-# Round-1 self-baseline (nnz/s, this benchmark, 1 chip); ratios are
-# against this number so later rounds show progress.
-BASELINE_SELF = 2.0e9
+# Self-baseline: the first complete end-to-end measurement of this
+# framework on TPU (round 1, 2026-08-16: 60 f32 cycles at 1M rows in
+# 28.4s -> 1.46e7 nnz*cycles/s).  The reference publishes no numbers
+# (BASELINE.md), so vs_baseline > 1 means faster than our own round-1
+# starting point.
+BASELINE_SELF = 1.46e7
 
 
 def log(*a):
@@ -64,13 +67,19 @@ def main():
     log(f"assembled A: n={a.n_rows}, nnz={a.nnz} "
         f"({time.perf_counter()-t0:.2f}s)")
 
-    tol = 1e-8 if dtype == "float64" else 1e-6
+    # BASELINE.md target: iterations to 1e-8 relative residual.  The cycles
+    # run in `dtype` (f32 by default); mixed-precision defect correction
+    # (f64 outer residual) carries the solve past the f32 precision floor.
+    tol = 1e-8
+    refine = dtype != "float64" and os.environ.get(
+        "AMG_BENCH_REFINE", "1") == "1"
     pars = amg.AMGParams(
         tol=tol,
         dtype=dtype,
         smoother=SmootherType[smoother_name],
         verbose=0,
         max_it=60,
+        refine=refine,
     )
 
     t0 = time.perf_counter()

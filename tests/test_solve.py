@@ -17,7 +17,7 @@ def _mk_level(a: CSR, cfmark=None, pars=AMGParams(), force_ell=False):
     import jax.numpy as jnp
 
     if force_ell:
-        pars = pars.replace(max_diags=0)
+        pars = pars.replace(max_diags=0, dense_level_bytes=0)
     pad = ((a.n_rows + 7) // 8) * 8
     return _level_from_csr(a, None, None, cfmark, pad, None,
                            jnp.float64, pars)
@@ -288,7 +288,7 @@ def test_range_gs_matches_gather_gs():
     ap = a.permute(perm)
     gs_key = key[perm]
 
-    pars = AMGParams(max_diags=0)  # force ELL
+    pars = AMGParams(max_diags=0, dense_level_bytes=0)  # force ELL
     pad = ((n + 7) // 8) * 8
     lvl_rng = _level_from_csr(ap, None, None, None, pad, None,
                               jnp.float64, pars, gs_key=gs_key)
@@ -322,3 +322,84 @@ def test_reorder_gs_solve_equivalent():
         assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
         xs[reorder] = x
     np.testing.assert_allclose(xs[False], xs[True], rtol=1e-7, atol=1e-9)
+
+
+def test_dense_level_format():
+    """Small levels densify (MXU matvec path) and GS on them is exact."""
+    import jax.numpy as jnp
+    from amg_tpu.sparse import Dense
+    from amg_tpu.ops.spmv import spmv
+
+    a = amg.poisson2d(9)
+    d = Dense.from_csr(a, dtype=jnp.float64)
+    x = np.random.default_rng(0).standard_normal(d.padded_cols)
+    y = np.asarray(spmv(d, jnp.asarray(x)))[: a.n_rows]
+    np.testing.assert_allclose(y, a.matvec(x[: a.n_cols]), rtol=1e-12)
+
+    # dense range-GS equals the sequential oracle in the permuted order
+    from amg_tpu.setup_phase.coloring import color_graph
+    n = a.n_rows
+    colors = color_graph(a)
+    key = colors.astype(np.int64) * 2
+    perm = np.argsort(key, kind="stable")
+    ap = a.permute(perm)
+    pars = AMGParams(max_diags=0)  # skip DIA so dense wins
+    pad = ((n + 127) // 128) * 128
+    lvl = _mk_level_padded(ap, pad, pars, gs_key=key[perm])
+    from amg_tpu.sparse import Dense as _Dense
+    assert isinstance(lvl.a, _Dense) and lvl.ranges is not None
+    rng_ = np.random.default_rng(5)
+    x = np.zeros(pad); x[:n] = rng_.standard_normal(n)
+    b = np.zeros(pad); b[:n] = rng_.standard_normal(n)
+    y1 = np.asarray(gs_sweep(lvl, jnp.asarray(x), jnp.asarray(b),
+                             tuple(range(len(lvl.ranges)))))
+    want = _gs_oracle(ap, x[:n], b[:n], list(range(n)))
+    np.testing.assert_allclose(y1[:n], want, rtol=1e-12, atol=1e-13)
+
+
+def _mk_level_padded(a, pad, pars, gs_key=None):
+    import jax.numpy as jnp
+
+    return _level_from_csr(a, None, None, None, pad, None,
+                           jnp.float64, pars, gs_key=gs_key)
+
+
+def test_dense_levels_end_to_end():
+    a = amg.poisson3d(16)
+    pars = AMGParams(tol=1e-8, verbose=0)
+    s = amg.AMGSolver(a, pars, log=lambda *a: None)
+    fmts = [type(l.a).__name__ for l in s.mg.levels]
+    assert "Dense" in fmts
+    b = np.ones(a.n_rows)
+    x, info = s.solve(b)
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_mixed_precision_refine():
+    """f32 cycles + f64 defect correction reach f64-grade tolerance."""
+    a = amg.poisson3d(12)
+    b = np.random.default_rng(7).standard_normal(a.n_rows)
+    pars = AMGParams(tol=1e-10, dtype="float32", refine=True, verbose=0)
+    s = amg.AMGSolver(a, pars, log=lambda *a: None)
+    assert s.a0_hi is not None
+    x, info = s.solve(b)
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+    # plain f32 cannot reach this tolerance
+    pars32 = AMGParams(tol=1e-10, dtype="float32", max_it=40, verbose=0)
+    _, info32 = amg.AMGSolver(a, pars32, log=lambda *a: None).solve(b)
+    assert info32.rres > 1e-10
+
+
+def test_quiet_solve_matches_verbose():
+    """Batched residual fetching (quiet mode) reproduces the per-iteration
+    sync path exactly."""
+    a = amg.poisson2d(24)
+    b = np.ones(a.n_rows)
+    i1 = amg.AMGSolver(a, AMGParams(verbose=1), log=lambda *a: None).solve(b)[1]
+    i0 = amg.AMGSolver(a, AMGParams(verbose=0), log=lambda *a: None).solve(b)[1]
+    assert i1.nits == i0.nits
+    np.testing.assert_allclose(
+        i1.residuals, i0.residuals[: len(i1.residuals)], rtol=1e-12
+    )
