@@ -61,16 +61,21 @@ class Level:
     # color-contiguously ordered (ELL fast path: sweeps are static slices,
     # one SpMV's work total); None -> gather-based group path
     ranges: Optional[Tuple[Tuple[int, int], ...]] = None
+    # embedded->compact boundary (set on the deepest fine-grid-embedded
+    # level): positions of the next level's rows in this level's embedded
+    # index space, padded with an out-of-range index (scatter-dropped)
+    compact_idx: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         leaves = (self.a, self.p, self.r, self.diag, self.inv_diag,
                   self.l1_inv, self.diag_mask, self.groups, self.gid,
-                  self.rho_dinv_a)
+                  self.rho_dinv_a, self.compact_idx)
         return leaves, (self.group_cf, self.ranges)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, group_cf=aux[0], ranges=aux[1])
+        return cls(*leaves[:-1], group_cf=aux[0], ranges=aux[1],
+                   compact_idx=leaves[-1])
 
     @property
     def n(self) -> int:
@@ -118,6 +123,10 @@ class HostHierarchy:
     # per level: sorted GS class key per row (color*2 + is_C) when the level
     # has been permuted color-contiguously by :func:`reorder_for_gs`, else None
     gs_key: Optional[list] = None
+    # per level: the new->old row permutation applied by reorder_for_gs
+    # (None where untouched); consumed by fine-grid embedding at the
+    # embedded->compact boundary
+    perms: Optional[list] = None
 
     @property
     def num_levels(self) -> int:
@@ -233,7 +242,8 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
     return hh
 
 
-def reorder_for_gs(hh: HostHierarchy, pars: AMGParams) -> HostHierarchy:
+def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
+                   skip_levels: int = 0) -> HostHierarchy:
     """Permute coarse ELL-format levels color-contiguously (in place).
 
     Rows of each level ``l >= 1`` destined for the gather-based ELL format
@@ -249,7 +259,8 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams) -> HostHierarchy:
 
     nl = hh.num_levels
     hh.gs_key = [None] * nl
-    for l in range(1, nl):
+    hh.perms = [None] * nl
+    for l in range(max(1, skip_levels + 1), nl):
         al = hh.a[l]
         if _pick_format(al, pars) == "dia":
             continue
@@ -266,6 +277,7 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams) -> HostHierarchy:
         hh.gs_key[l] = key[perm]
         if np.array_equal(perm, np.arange(n, dtype=np.int64)):
             continue
+        hh.perms[l] = perm
         inv = np.empty_like(perm)
         inv[perm] = np.arange(n, dtype=np.int64)
         hh.a[l] = al.permute(perm)
@@ -277,6 +289,213 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams) -> HostHierarchy:
         if l < len(hh.cfmark):
             hh.cfmark[l] = np.asarray(hh.cfmark[l])[perm]
     return hh
+
+
+# ---------------------------------------------------------------------------
+# Fine-grid embedding of coarse levels
+#
+# TPU gathers are orders of magnitude slower than streaming, so the compact
+# (renumbered) coarse representation — whose P/R/A applications all gather —
+# is the wrong layout for the hot path.  Instead, coarse unknowns KEEP their
+# level-0 grid positions: every coarse operator becomes a diagonal-offset
+# stencil (Dia) over the fine grid and the entire cycle runs gather-free.
+# Coarse vectors are fine-grid length with zeros at non-member positions
+# (inv_diag masks keep smoothers exact).  Embedding stops when the stencil
+# outgrows `embed_max_diags`/budget; deeper levels use compact formats with
+# one gather/scatter pair at the boundary.
+# ---------------------------------------------------------------------------
+
+
+def _embed_csr(m: CSR, row_emb: np.ndarray, col_emb: np.ndarray,
+               n0: int) -> CSR:
+    """Re-index a compact operator into the fine (level-0) index space."""
+    rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), m.row_degrees)
+    return CSR.from_coo(
+        row_emb[rows], col_emb[m.indices.astype(np.int64)], m.data, (n0, n0)
+    )
+
+
+def _num_offsets_embedded(m: CSR, row_emb, col_emb) -> int:
+    rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), m.row_degrees)
+    return len(np.unique(col_emb[m.indices.astype(np.int64)] - row_emb[rows]))
+
+
+def embedding_plan(hh: HostHierarchy, pars: AMGParams):
+    """Decide how deep the fine-grid embedding goes.
+
+    Returns ``(E, emb)`` where ``emb[l]`` maps level-l rows to level-0
+    positions and levels ``1..E`` (plus level-0's P/R) are embedded.
+    ``E = 0`` means no embedding (compact formats everywhere).
+    """
+    from .params import CGPT
+
+    nl = hh.num_levels
+    n0 = hh.a[0].n_rows
+    emb = [np.arange(n0, dtype=np.int64)]
+    for cf in hh.cfmark:
+        cpos = np.flatnonzero(np.asarray(cf) == CGPT)
+        emb.append(emb[len(emb) - 1][cpos])
+
+    if pars.embed_levels <= 0 or nl < 2:
+        return 0, emb
+    # level 0 must itself be a banded (Dia) operator for stencil embedding
+    if _pick_format(hh.a[0], pars) != "dia":
+        return 0, emb
+
+    itemsize = np.dtype(pars.dtype).itemsize
+    budget = pars.embed_max_bytes
+    # with a Gauss-Seidel-family smoother, a masked sweep on an embedded
+    # level costs (and compiles) n_colors full operator passes — cap
+    # n_groups * n_diags; SpMV-based smoothers (Chebyshev/Jacobi) don't care
+    from .params import SmootherType
+
+    coarse_sm = pars.coarse_smoother or pars.smoother
+    gs_like = coarse_sm in (
+        SmootherType.GS, SmootherType.SGS, SmootherType.SOR,
+        SmootherType.SSOR, SmootherType.GSOR, SmootherType.SGSOR,
+    )
+    gs_cap = 1500
+
+    E = 0
+    spent = 0.0
+    # level l is embeddable if A_l, P_{l-1}, R_{l-1} all stay within the
+    # stencil cap; the coarsest level always stays compact (dense inverse)
+    for l in range(1, min(pars.embed_levels + 1, nl - 1)):
+        if l >= len(emb):
+            break
+        nd_a = _num_offsets_embedded(hh.a[l], emb[l], emb[l])
+        nd_p = _num_offsets_embedded(hh.p[l - 1], emb[l - 1], emb[l])
+        nd_r = _num_offsets_embedded(hh.r[l - 1], emb[l], emb[l - 1])
+        if max(nd_a, nd_p, nd_r) > pars.embed_max_diags:
+            break
+        if gs_like:
+            from .setup_phase.coloring import color_graph
+
+            colors = color_graph(hh.a[l])
+            ngroups = (int(colors.max()) + 1 if len(colors) else 1) * 2
+            if ngroups * nd_a > gs_cap:
+                break
+        cost = (nd_a + nd_p + nd_r) * n0 * itemsize
+        if spent + cost > budget:
+            break
+        spent += cost
+        E = l
+    if E >= 1 and E < nl - 1:
+        # the boundary level also needs embedded P_E / R_E
+        nd_p = _num_offsets_embedded(hh.p[E], emb[E], emb[E + 1])
+        nd_r = _num_offsets_embedded(hh.r[E], emb[E + 1], emb[E])
+        cost = (nd_p + nd_r) * n0 * itemsize
+        if max(nd_p, nd_r) > pars.embed_max_diags or spent + cost > budget:
+            E -= 1
+    return E, emb
+
+
+def _embedded_level(
+    hh: HostHierarchy,
+    l: int,
+    E: int,
+    emb: list,
+    pad0: int,
+    pad_next: Optional[int],
+    dtype,
+    pars: AMGParams,
+) -> Level:
+    """Build a fine-grid-embedded device level (all operators Dia)."""
+    from .params import SMALLFLOAT, SmootherType
+
+    al = hh.a[l]
+    n0 = hh.a[0].n_rows
+    nl = hh.num_levels
+    rl = emb[l]
+
+    if l == 0:
+        a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad0) \
+            if _pick_format(al, pars) == "dia" else None
+        if a_dev is None:
+            raise ValueError("embedded hierarchy requires a banded A_0")
+    else:
+        a_dev = Dia.from_csr(_embed_csr(al, rl, rl, n0), dtype=dtype,
+                             pad_rows_to=pad0)
+
+    p_dev = r_dev = None
+    compact_idx = None
+    if l < nl - 1:
+        cl = emb[l + 1]
+        p_dev = Dia.from_csr(_embed_csr(hh.p[l], rl, cl, n0), dtype=dtype,
+                             pad_rows_to=pad0)
+        r_dev = Dia.from_csr(_embed_csr(hh.r[l], cl, rl, n0), dtype=dtype,
+                             pad_rows_to=pad0)
+        if l == E:
+            # boundary to the compact world: next level's rows live at
+            # emb positions; padding points out of range (dropped)
+            idx = np.full(pad_next, pad0, dtype=np.int64)
+            idx[: len(cl)] = cl
+            compact_idx = jnp.asarray(idx.astype(np.int32))
+
+    n = al.n_rows
+    diag_c = al.diagonal_fast()
+    diag = np.zeros(pad0)
+    diag[rl] = diag_c
+    inv_diag = np.zeros(pad0)
+    nz = np.abs(diag_c) > SMALLFLOAT
+    inv_diag[rl[nz]] = 1.0 / diag_c[nz]
+
+    l1_c = np.zeros(n)
+    rows = np.repeat(np.arange(n, dtype=np.int64), al.row_degrees)
+    np.add.at(l1_c, rows, np.abs(al.data))
+    l1_inv = np.zeros(pad0)
+    nz1 = l1_c > SMALLFLOAT
+    l1_inv[rl[nz1]] = 1.0 / l1_c[nz1]
+
+    cfmark = hh.cfmark[l] if l < len(hh.cfmark) else None
+    groups, group_cf, gid_c = build_groups(al, cfmark, pad_to=pad0)
+    gid = np.full(pad0, -1, dtype=np.int32)
+    gid[rl] = gid_c[:n]
+
+    lvl_smoother = pars.smoother if (l == 0 or pars.coarse_smoother is None) \
+        else pars.coarse_smoother
+    rho = 1.0
+    if lvl_smoother in (SmootherType.POLY, SmootherType.CHEBYSHEV):
+        from .ops.spmv import spmv
+
+        dinv_dev = jnp.asarray(inv_diag.astype(np.dtype(dtype)))
+
+        @jax.jit
+        def _power(a_op, dinv, v):
+            def body(_, c):
+                v, rho = c
+                w = (dinv * spmv(a_op, v))[: v.shape[0]]
+                nw = jnp.linalg.norm(w)
+                rho = jnp.where(nw > 0, nw / jnp.maximum(
+                    jnp.linalg.norm(v), 1e-300), rho)
+                v = jnp.where(nw > 0, w / jnp.maximum(nw, 1e-300), v)
+                return (v, rho)
+
+            return jax.lax.fori_loop(
+                0, 12, body, (v, jnp.ones((), v.dtype))
+            )[1]
+
+        rng = np.random.default_rng(0)
+        v0 = np.zeros(pad0)
+        v0[rl] = rng.random(n)
+        rho = float(_power(a_dev, dinv_dev,
+                           jnp.asarray(v0.astype(np.dtype(dtype)))))
+
+    return Level(
+        a=a_dev,
+        p=p_dev,
+        r=r_dev,
+        diag=jnp.asarray(diag.astype(np.dtype(dtype))),
+        inv_diag=jnp.asarray(inv_diag.astype(np.dtype(dtype))),
+        l1_inv=jnp.asarray(l1_inv.astype(np.dtype(dtype))),
+        diag_mask=None,
+        groups=None,
+        gid=jnp.asarray(gid),
+        rho_dinv_a=jnp.asarray(rho, dtype=dtype),
+        group_cf=tuple(int(t) for t in group_cf),
+        ranges=None,
+        compact_idx=compact_idx,
+    )
 
 
 def _use_dia(al: CSR, pars: AMGParams) -> bool:
@@ -427,20 +646,40 @@ def _level_from_csr(
     )
 
 
-def to_device(hh: HostHierarchy, pars: AMGParams) -> Hierarchy:
+def to_device(hh: HostHierarchy, pars: AMGParams,
+              plan=None) -> Hierarchy:
     """Pack the host hierarchy into device pytrees."""
     dtype = jnp.dtype(pars.dtype)
     nl = hh.num_levels
+    if plan is None:
+        plan = embedding_plan(hh, pars)
+    E, emb = plan
+    # the first compact level may have been color-permuted after the plan
+    # was computed; carry the permutation into its fine-position map so the
+    # boundary operators (P_E/R_E, compact_idx) index it correctly
+    if E >= 1 and hh.perms is not None and E + 1 < nl \
+            and hh.perms[E + 1] is not None:
+        emb = list(emb)
+        emb[E + 1] = emb[E + 1][hh.perms[E + 1]]
     # dense levels pad to the 128-lane boundary so the level's vectors are
-    # directly usable as matvec operands
+    # directly usable as matvec operands; embedded levels share level 0's pad
     pads = [
         _round_up(max(m.n_rows, 1),
                   128 if _pick_format(m, pars) == "dense" else 8)
         for m in hh.a
     ]
+    pad0 = pads[0]
+    for l in range(1, E + 1):
+        pads[l] = pad0
 
     levels = []
     for l in range(nl):
+        if E >= 1 and l <= E:
+            pad_next = pads[l + 1] if l < nl - 1 else None
+            levels.append(
+                _embedded_level(hh, l, E, emb, pad0, pad_next, dtype, pars)
+            )
+            continue
         p = hh.p[l] if l < nl - 1 else None
         r = hh.r[l] if l < nl - 1 else None
         cf = hh.cfmark[l] if l < len(hh.cfmark) else None
@@ -471,9 +710,10 @@ def setup(a: CSR, pars: AMGParams, log=print) -> tuple[Hierarchy, HostHierarchy]
     """Full setup: host hierarchy + device pack, with reference-format
     complexity table and timing print."""
     hh = setup_host(a, pars, log=log)
+    plan = embedding_plan(hh, pars)
     if pars.reorder_gs:
-        reorder_for_gs(hh, pars)
-    mg = to_device(hh, pars)
+        reorder_for_gs(hh, pars, skip_levels=plan[0])
+    mg = to_device(hh, pars, plan=plan)
     if pars.verbose:
         log(complexity_print(hh))
         log(f"AMG setup time: {hh.setup_seconds:g} s")

@@ -19,6 +19,7 @@ A, x, y to the GPU on *every* SpMV, amg/Solve/SSS_cuda.cu:124-139).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -38,15 +39,43 @@ def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
     ~35x faster than the gather path on TPU (VPU streaming at HBM
     bandwidth); this is the per-chip speed-of-light kernel for banded
     operators (SURVEY.md section 3.5).
+
+    Narrow stencils unroll fully (XLA fuses the FMA chain).  Wide stencils
+    (embedded coarse operators can have hundreds of diagonals) run as a
+    ``lax.scan`` over chunks of diagonals so the program stays small while
+    each chunk still fuses.
     """
     pad = a.padded_rows
+    nd = len(a.offsets)
     lo = max(-min(a.offsets), 0) if a.offsets else 0
     hi = max(max(a.offsets), 0) if a.offsets else 0
     xp = jnp.pad(x, (lo, hi))
-    y = jnp.zeros((pad,), x.dtype)
-    for k, off in enumerate(a.offsets):
-        start = lo + off
-        y = y + a.vals[k] * jax.lax.slice(xp, (start,), (start + pad,))
+
+    chunk = 16
+    if nd <= 256:
+        y = jnp.zeros((pad,), x.dtype)
+        for k, off in enumerate(a.offsets):
+            start = lo + off
+            y = y + a.vals[k] * jax.lax.slice(xp, (start,), (start + pad,))
+        return y
+
+    nchunks = (nd + chunk - 1) // chunk
+    nd_pad = nchunks * chunk
+    vals = a.vals
+    starts = np.asarray(a.offsets, dtype=np.int32) + lo
+    if nd_pad != nd:
+        vals = jnp.pad(vals, ((0, nd_pad - nd), (0, 0)))
+        starts = np.pad(starts, (0, nd_pad - nd))
+    vals_c = vals.reshape(nchunks, chunk, pad)
+    starts_c = jnp.asarray(starts.reshape(nchunks, chunk))
+
+    def body(y, sc):
+        v, s = sc
+        for j in range(chunk):
+            y = y + v[j] * jax.lax.dynamic_slice(xp, (s[j],), (pad,))
+        return y, None
+
+    y, _ = jax.lax.scan(body, jnp.zeros((pad,), x.dtype), (vals_c, starts_c))
     return y
 
 

@@ -125,6 +125,7 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
             rho_dinv_a=put(level.rho_dinv_a),
             group_cf=level.group_cf,
             ranges=level.ranges,
+            compact_idx=put(level.compact_idx),
         )
 
     def shard_rows(arr):
@@ -178,6 +179,11 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
         rho_dinv_a=jax.device_put(level.rho_dinv_a, _replicated(mesh)),
         group_cf=level.group_cf,
         ranges=level.ranges,
+        compact_idx=(
+            jax.device_put(level.compact_idx, _replicated(mesh))
+            if level.compact_idx is not None
+            else None
+        ),
     )
 
 

@@ -159,6 +159,21 @@ class AMGParams:
     # n_rows*n_cols*dtype_size fits this budget (deep levels are small but
     # nearly dense; gathers are the TPU's weakest op)
     dense_level_bytes: float = 2e9
+    # Embed coarse levels in the fine-grid index space: coarse unknowns keep
+    # their level-0 positions, so A_l / P_l / R_l become diagonal-offset
+    # stencils (Dia) over the fine grid — ZERO gathers in the whole cycle
+    # (TPU gathers are ~1000x slower than streaming).  Vectors at embedded
+    # levels are fine-grid length; an embedded level costs nd_l * n0
+    # streamed bytes per operator pass.  Levels stop embedding when the
+    # stencil grows past `embed_max_diags` or the budget; unstructured
+    # problems fall back to compact formats automatically.
+    embed_levels: int = 8
+    embed_max_diags: int = 320
+    embed_max_bytes: float = 6e9
+    # Smoother override for levels >= 1 (None = pars.smoother everywhere).
+    # Masked Gauss-Seidel on an embedded level costs n_colors full operator
+    # passes per sweep; Chebyshev costs poly_deg passes regardless.
+    coarse_smoother: "SmootherType | None" = None
     # Mixed-precision defect correction: run the V-cycles in `dtype`
     # (f32/bf16 — MXU/VPU native) but iterate the correction against an
     # f64 level-0 residual, reaching f64-grade tolerances (e.g. 1e-8) at

@@ -52,17 +52,33 @@ def _cycle_level(mg: Hierarchy, l: int, x, b, pars: AMGParams, ctol):
 
     level = mg.levels[l]
     repeats = 1 if l == 0 else max(pars.cycle_type, 1)
+    # coarse-level smoother override (e.g. Chebyshev on embedded levels,
+    # where masked GS would cost n_colors operator passes per sweep)
+    pars_l = pars if (l == 0 or pars.coarse_smoother is None) \
+        else pars.replace(smoother=pars.coarse_smoother)
 
     for _ in range(repeats):
         # pre-smoothing
-        x = smooth(level, x, b, pars, pars.pre_iter, pre=True)
+        x = smooth(level, x, b, pars_l, pars.pre_iter, pre=True)
         # restrict residual
         r = b - spmv(level.a, x)
         bc = spmv(level.r, r)
+        if level.compact_idx is not None:
+            # fine-grid-embedded -> compact boundary (one small gather);
+            # padding slots clamp to an arbitrary entry, so mask them off
+            bc = bc[level.compact_idx]
+            nn = mg.levels[l + 1].n
+            bc = jnp.where(jnp.arange(bc.shape[0]) < nn, bc, 0.0)
         xc = jnp.zeros_like(bc)
         # coarse correction
         xc = _cycle_level(mg, l + 1, xc, bc, pars, ctol)
-        x = x + spmv(level.p, xc)
+        if level.compact_idx is not None:
+            # compact -> embedded (one small scatter; padding drops)
+            xe = jnp.zeros_like(x).at[level.compact_idx].set(
+                xc, mode="drop")
+            x = x + spmv(level.p, xe)
+        else:
+            x = x + spmv(level.p, xc)
         # post-smoothing
-        x = smooth(level, x, b, pars, pars.post_iter, pre=False)
+        x = smooth(level, x, b, pars_l, pars.post_iter, pre=False)
     return x

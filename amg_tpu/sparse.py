@@ -389,8 +389,8 @@ class Dense:
             pc = max(pc, pad_cols_to)
         vals = np.zeros((pr, pc), dtype=np.dtype(dtype))
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
-        np.add.at(vals, (rows, a.indices.astype(np.int64)),
-                  a.data.astype(np.dtype(dtype)))
+        # (row, col) pairs are unique in a duplicate-free CSR
+        vals[rows, a.indices.astype(np.int64)] = a.data
         return Dense(jnp.asarray(vals), (n_rows, n_cols), a.nnz)
 
     def to_csr(self) -> CSR:
@@ -476,13 +476,13 @@ class Dia:
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
         offs = a.indices.astype(np.int64) - rows
         uniq = np.unique(offs)
-        dmap = {int(o): k for k, o in enumerate(uniq)}
-        vals = np.zeros((len(uniq), pr), dtype=np.float64)
+        # build directly in the target dtype; (offset, row) pairs are unique
+        # in a duplicate-free CSR, so plain assignment suffices (no add.at)
+        vals = np.zeros((len(uniq), pr), dtype=np.dtype(dtype))
         dpos = np.searchsorted(uniq, offs)
-        vals[dpos, rows] = 0.0  # ensure slots exist
-        np.add.at(vals, (dpos, rows), a.data)
+        vals[dpos, rows] = a.data
         return Dia(
-            jnp.asarray(vals.astype(np.dtype(dtype))),
+            jnp.asarray(vals),
             tuple(int(o) for o in uniq),
             (n_rows, n_cols),
             a.nnz,

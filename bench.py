@@ -73,10 +73,15 @@ def main():
     tol = 1e-8
     refine = dtype != "float64" and os.environ.get(
         "AMG_BENCH_REFINE", "1") == "1"
+    # Chebyshev on coarse levels lets the fine-grid embedding reach deeper
+    # (masked GS costs n_colors operator passes per sweep on an embedded
+    # level); level 0 keeps the configured smoother.
+    coarse_sm = os.environ.get("AMG_BENCH_COARSE_SMOOTHER", "CHEBYSHEV")
     pars = amg.AMGParams(
         tol=tol,
         dtype=dtype,
         smoother=SmootherType[smoother_name],
+        coarse_smoother=(SmootherType[coarse_sm] if coarse_sm else None),
         verbose=0,
         max_it=60,
         refine=refine,

@@ -403,3 +403,74 @@ def test_quiet_solve_matches_verbose():
     np.testing.assert_allclose(
         i1.residuals, i0.residuals[: len(i1.residuals)], rtol=1e-12
     )
+
+
+def test_embedded_levels_match_compact():
+    """Fine-grid-embedded coarse levels reproduce the compact hierarchy's
+    convergence (same numerics, different layout)."""
+    from amg_tpu.params import SmootherType
+
+    a = amg.poisson3d(14)
+    b = np.random.default_rng(11).standard_normal(a.n_rows)
+    pars_e = AMGParams(tol=1e-10, verbose=0)
+    s_e = amg.AMGSolver(a, pars_e, log=lambda *x: None)
+    # the plan must actually embed at least level 1 on a 3D stencil
+    assert s_e.mg.levels[1].pad == s_e.mg.levels[0].pad
+    pars_c = AMGParams(tol=1e-10, verbose=0, embed_levels=0)
+    s_c = amg.AMGSolver(a, pars_c, log=lambda *x: None)
+    assert s_c.mg.levels[1].pad != s_c.mg.levels[0].pad
+
+    x_e, info_e = s_e.solve(b)
+    x_c, info_c = s_c.solve(b)
+    r_e = b - a.matvec(x_e)
+    assert np.linalg.norm(r_e) / np.linalg.norm(b) < 1e-10
+    assert abs(info_e.nits - info_c.nits) <= 1
+    np.testing.assert_allclose(x_e, x_c, rtol=1e-6, atol=1e-9)
+
+
+def test_embedded_chebyshev_coarse():
+    from amg_tpu.params import SmootherType
+
+    a = amg.poisson3d(14)
+    b = np.ones(a.n_rows)
+    pars = AMGParams(tol=1e-8, verbose=0,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    s = amg.AMGSolver(a, pars, log=lambda *x: None)
+    x, info = s.solve(b)
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+    assert info.nits <= 20
+
+
+def test_embedded_spmv_matches_compact():
+    """Embedded-space P/R/A applications equal the compact ones."""
+    import jax.numpy as jnp
+    from amg_tpu.hierarchy import (setup_host, embedding_plan, to_device)
+    from amg_tpu.ops.spmv import spmv
+
+    a = amg.poisson3d(10)
+    pars = AMGParams(verbose=0)
+    hh = setup_host(a, pars, log=lambda *x: None)
+    plan = embedding_plan(hh, pars)
+    E, emb = plan
+    assert E >= 1
+    mg = to_device(hh, pars, plan=plan)
+
+    rng_ = np.random.default_rng(0)
+    n0 = a.n_rows
+    pad0 = mg.levels[0].pad
+    # A_1 embedded vs host CSR
+    x1 = rng_.standard_normal(hh.a[1].n_rows)
+    xe = np.zeros(pad0)
+    xe[emb[1]] = x1
+    ye = np.asarray(spmv(mg.levels[1].a, jnp.asarray(xe)))
+    want = hh.a[1].matvec(x1)
+    np.testing.assert_allclose(ye[emb[1]], want, rtol=1e-12, atol=1e-13)
+    # non-member rows stay zero
+    mask = np.ones(pad0, bool)
+    mask[emb[1]] = False
+    assert np.abs(ye[mask]).max() == 0.0
+    # P_0 embedded
+    ype = np.asarray(spmv(mg.levels[0].p, jnp.asarray(xe)))
+    want_p = hh.p[0].matvec(x1)
+    np.testing.assert_allclose(ype[:n0], want_p, rtol=1e-12, atol=1e-13)
