@@ -199,6 +199,12 @@ def smooth(level, x, b, pars, nsweeps: int, pre: bool):
     sm = pars.smoother
     relax = pars.relax
 
+    if sm in (SmootherType.POLY, SmootherType.CHEBYSHEV):
+        # a degree-d Chebyshev application IS the smoother; iterating it
+        # nsweeps times would restart the recurrence (same work as degree
+        # nsweeps*d but weaker) — apply once per pre/post call
+        return _chebyshev(level, x, b, pars.poly_deg)
+
     for _ in range(nsweeps):
         if sm == SmootherType.GS:
             x = gs_sweep(level, x, b, _order(level, pre, pars.cf_order, pre))

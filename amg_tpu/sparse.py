@@ -34,6 +34,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# arrays above this size are built by scattering nnz triplets ON DEVICE
+# instead of materializing + uploading the full array from the host (host
+# alloc and transfer dominate setup for sparse embedded stencils)
+_DEVICE_BUILD_BYTES = 64 * 1024 * 1024
+
+
+def _device_scatter_2d(shape, rows, cols, data, dtype) -> jnp.ndarray:
+    """zeros(shape).at[rows, cols].set(data) with minimal host->device
+    traffic (indices+values only)."""
+    r = jnp.asarray(np.ascontiguousarray(rows, dtype=np.int32))
+    c = jnp.asarray(np.ascontiguousarray(cols, dtype=np.int32))
+    v = jnp.asarray(np.asarray(data, dtype=np.dtype(dtype)))
+    return jnp.zeros(shape, dtype=np.dtype(dtype)).at[r, c].set(
+        v, unique_indices=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host CSR
 # ---------------------------------------------------------------------------
@@ -387,9 +404,16 @@ class Dense:
         pc = _round_up(max(n_cols, 1), 128)  # lane-aligned
         if pad_cols_to is not None:
             pc = max(pc, pad_cols_to)
-        vals = np.zeros((pr, pc), dtype=np.dtype(dtype))
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
-        # (row, col) pairs are unique in a duplicate-free CSR
+        nd_bytes = pr * pc * np.dtype(dtype).itemsize
+        if nd_bytes > _DEVICE_BUILD_BYTES:
+            # big array: upload only the nnz triplets and scatter on device
+            # ((row, col) pairs are unique in a duplicate-free CSR)
+            vals = _device_scatter_2d(
+                (pr, pc), rows, a.indices, a.data, dtype
+            )
+            return Dense(vals, (n_rows, n_cols), a.nnz)
+        vals = np.zeros((pr, pc), dtype=np.dtype(dtype))
         vals[rows, a.indices.astype(np.int64)] = a.data
         return Dense(jnp.asarray(vals), (n_rows, n_cols), a.nnz)
 
@@ -476,13 +500,21 @@ class Dia:
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
         offs = a.indices.astype(np.int64) - rows
         uniq = np.unique(offs)
-        # build directly in the target dtype; (offset, row) pairs are unique
-        # in a duplicate-free CSR, so plain assignment suffices (no add.at)
-        vals = np.zeros((len(uniq), pr), dtype=np.dtype(dtype))
         dpos = np.searchsorted(uniq, offs)
-        vals[dpos, rows] = a.data
+        nd_bytes = len(uniq) * pr * np.dtype(dtype).itemsize
+        if nd_bytes > _DEVICE_BUILD_BYTES:
+            # sparse embedded stencils can be >100x larger than their nnz:
+            # upload triplets, scatter on device
+            vals = _device_scatter_2d((len(uniq), pr), dpos, rows, a.data,
+                                      dtype)
+        else:
+            # build directly in the target dtype; (offset, row) pairs are
+            # unique in a duplicate-free CSR, so plain assignment suffices
+            vals_np = np.zeros((len(uniq), pr), dtype=np.dtype(dtype))
+            vals_np[dpos, rows] = a.data
+            vals = jnp.asarray(vals_np)
         return Dia(
-            jnp.asarray(vals),
+            vals,
             tuple(int(o) for o in uniq),
             (n_rows, n_cols),
             a.nnz,
