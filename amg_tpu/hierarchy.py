@@ -669,6 +669,13 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         for m in hh.a
     ]
     pad0 = pads[0]
+    if E >= 1 and hh.a[0].n_rows >= 65536:
+        # tile-align the shared embedded pad so the Pallas wide-DIA kernel
+        # applies to the embedded coarse operators
+        from .ops.pallas_dia import TILE
+
+        pad0 = _round_up(pad0, TILE)
+        pads[0] = pad0
     for l in range(1, E + 1):
         pads[l] = pad0
 

@@ -45,6 +45,13 @@ def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
     ``lax.scan`` over chunks of diagonals so the program stays small while
     each chunk still fuses.
     """
+    from . import pallas_dia
+
+    if pallas_dia.usable(a, x):
+        # wide band: tiled Pallas kernel keeps the x window in VMEM
+        # (the shifted-slice formulation re-reads x once per diagonal)
+        return pallas_dia.spmv(a, x)
+
     pad = a.padded_rows
     nd = len(a.offsets)
     lo = max(-min(a.offsets), 0) if a.offsets else 0

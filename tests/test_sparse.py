@@ -110,3 +110,30 @@ def test_dia_num_offsets():
 
     a = amg.poisson3d(5)
     assert Dia.num_offsets(a) == 7
+
+
+def test_pallas_dia_kernel_interpret():
+    """The Pallas wide-DIA SpMV kernel (interpret mode) matches the host
+    CSR product."""
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.ops import pallas_dia
+    from amg_tpu.sparse import Dia
+
+    n = pallas_dia.TILE * 2
+    rng = np.random.default_rng(0)
+    # banded matrix with ~40 scattered diagonals
+    offs = np.unique(rng.integers(-300, 300, 40))
+    rows_l, cols_l, vals_l = [], [], []
+    for o in offs:
+        i = np.arange(max(0, -o), min(n, n - o))
+        rows_l.append(i)
+        cols_l.append(i + o)
+        vals_l.append(rng.standard_normal(len(i)))
+    a = CSR.from_coo(np.concatenate(rows_l), np.concatenate(cols_l),
+                     np.concatenate(vals_l), (n, n))
+    d = Dia.from_csr(a, dtype=jnp.float32, pad_rows_to=n)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(pallas_dia.spmv(d, jnp.asarray(x), interpret=True))
+    want = a.matvec(x.astype(np.float64))
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=1e-5)
