@@ -408,23 +408,29 @@ def _embedded_level(
     nl = hh.num_levels
     rl = emb[l]
 
+    # coarse-level operator values may use reduced-precision storage
+    op_dtype = dtype if (l == 0 or pars.coarse_op_dtype == "same") \
+        else jnp.dtype(pars.coarse_op_dtype)
+
     if l == 0:
         a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad0) \
             if _pick_format(al, pars) == "dia" else None
         if a_dev is None:
             raise ValueError("embedded hierarchy requires a banded A_0")
     else:
-        a_dev = Dia.from_csr(_embed_csr(al, rl, rl, n0), dtype=dtype,
+        a_dev = Dia.from_csr(_embed_csr(al, rl, rl, n0), dtype=op_dtype,
                              pad_rows_to=pad0)
 
     p_dev = r_dev = None
     compact_idx = None
     if l < nl - 1:
         cl = emb[l + 1]
-        p_dev = Dia.from_csr(_embed_csr(hh.p[l], rl, cl, n0), dtype=dtype,
-                             pad_rows_to=pad0)
-        r_dev = Dia.from_csr(_embed_csr(hh.r[l], cl, rl, n0), dtype=dtype,
-                             pad_rows_to=pad0)
+        pr_dtype = dtype if pars.coarse_op_dtype == "same" \
+            else jnp.dtype(pars.coarse_op_dtype)
+        p_dev = Dia.from_csr(_embed_csr(hh.p[l], rl, cl, n0),
+                             dtype=pr_dtype, pad_rows_to=pad0)
+        r_dev = Dia.from_csr(_embed_csr(hh.r[l], cl, rl, n0),
+                             dtype=pr_dtype, pad_rows_to=pad0)
         if l == E:
             # boundary to the compact world: next level's rows live at
             # emb positions; padding points out of range (dropped)
@@ -537,15 +543,18 @@ def _level_from_csr(
     dtype,
     pars: AMGParams,
     gs_key: Optional[np.ndarray] = None,
+    is_coarse: bool = False,
 ) -> Level:
     from .params import SMALLFLOAT
 
     fmt = _pick_format(al, pars)
+    op_dtype = dtype if (not is_coarse or pars.coarse_op_dtype == "same") \
+        else jnp.dtype(pars.coarse_op_dtype)
     ell_cols_np = ell_vals_np = None
     if fmt == "dia":
-        a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad)
+        a_dev = Dia.from_csr(al, dtype=op_dtype, pad_rows_to=pad)
     elif fmt == "dense":
-        a_dev = Dense.from_csr(al, dtype=dtype, pad_rows_to=pad,
+        a_dev = Dense.from_csr(al, dtype=op_dtype, pad_rows_to=pad,
                                pad_cols_to=pad)
     else:
         ell_cols_np, ell_vals_np = Ell.pack_host(al, pad_rows_to=pad)
@@ -694,7 +703,7 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         gs_key = hh.gs_key[l] if hh.gs_key is not None else None
         levels.append(
             _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype,
-                            pars, gs_key=gs_key)
+                            pars, gs_key=gs_key, is_coarse=l >= 1)
         )
 
     # dense inverse of the coarsest operator (tiny: <= ~coarse_dof rows)

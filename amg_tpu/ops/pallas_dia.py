@@ -52,8 +52,10 @@ def _window_rows(lo: int, hi: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build(offsets, pad, lo, hi, dtype_name, interpret=False):
+def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
+           interpret=False):
     dtype = jnp.dtype(dtype_name)
+    vals_dtype = jnp.dtype(vals_dtype_name)
     nd = len(offsets)
     wrows = _window_rows(lo, hi)
     ntiles = pad // TILE
@@ -78,7 +80,10 @@ def _build(offsets, pad, lo, hi, dtype_name, interpret=False):
                 shifted = jnp.concatenate([a1[:, r:], a2[:, :r]], axis=1)
             else:
                 shifted = a1
-            acc = acc + vals_ref[k] * shifted
+            v = vals_ref[k]
+            if vals_dtype != dtype:
+                v = v.astype(dtype)
+            acc = acc + v * shifted
         out_ref[:] = acc
 
     return pl.pallas_call(
@@ -117,14 +122,16 @@ def usable(a, x) -> bool:
     pad = a.padded_rows
     if pad % TILE != 0:
         return False
-    if a.vals.dtype != x.dtype or x.dtype not in (
-        jnp.float32, jnp.bfloat16
-    ):
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if a.vals.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     lo = max(-min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
-    itemsize = jnp.dtype(x.dtype).itemsize
-    vmem = (2 * nd * TILE + _window_rows(lo, hi) * 128) * itemsize
+    vmem = (
+        2 * nd * TILE * jnp.dtype(a.vals.dtype).itemsize
+        + _window_rows(lo, hi) * 128 * jnp.dtype(x.dtype).itemsize
+    )
     return vmem <= _VMEM_BUDGET
 
 
@@ -139,5 +146,5 @@ def spmv(a, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     xp = jnp.pad(x, (lo, xp_len - lo - pad)).reshape(-1, 128)
     vals3 = a.vals.reshape(len(a.offsets), pad // 128, 128)
     fn = _build(tuple(a.offsets), pad, lo, hi, str(x.dtype),
-                interpret=interpret)
+                str(a.vals.dtype), interpret=interpret)
     return fn(xp, vals3).reshape(pad)

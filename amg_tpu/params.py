@@ -174,6 +174,11 @@ class AMGParams:
     # Masked Gauss-Seidel on an embedded level costs n_colors full operator
     # passes per sweep; Chebyshev costs poly_deg passes regardless.
     coarse_smoother: "SmootherType | None" = None
+    # Storage dtype for coarse-level (>= 1) operator values ("same" or e.g.
+    # "bfloat16"): coarse corrections are a preconditioner, so half-precision
+    # operator storage halves the dominant HBM traffic with little
+    # convergence impact (outer accuracy comes from defect correction).
+    coarse_op_dtype: str = "same"
     # Mixed-precision defect correction: run the V-cycles in `dtype`
     # (f32/bf16 — MXU/VPU native) but iterate the correction against an
     # f64 level-0 residual, reaching f64-grade tolerances (e.g. 1e-8) at

@@ -77,11 +77,13 @@ def main():
     # (masked GS costs n_colors operator passes per sweep on an embedded
     # level); level 0 keeps the configured smoother.
     coarse_sm = os.environ.get("AMG_BENCH_COARSE_SMOOTHER", "CHEBYSHEV")
+    coarse_od = os.environ.get("AMG_BENCH_COARSE_OP_DTYPE", "bfloat16")
     pars = amg.AMGParams(
         tol=tol,
         dtype=dtype,
         smoother=SmootherType[smoother_name],
         coarse_smoother=(SmootherType[coarse_sm] if coarse_sm else None),
+        coarse_op_dtype=coarse_od,
         verbose=0,
         max_it=60,
         refine=refine,

@@ -474,3 +474,21 @@ def test_embedded_spmv_matches_compact():
     ype = np.asarray(spmv(mg.levels[0].p, jnp.asarray(xe)))
     want_p = hh.p[0].matvec(x1)
     np.testing.assert_allclose(ype[:n0], want_p, rtol=1e-12, atol=1e-13)
+
+
+def test_bf16_coarse_operators():
+    """bf16 coarse-operator storage converges like f32 under defect
+    correction."""
+    from amg_tpu.params import SmootherType
+
+    a = amg.poisson3d(14)
+    b = np.random.default_rng(9).standard_normal(a.n_rows)
+    pars = AMGParams(tol=1e-10, dtype="float32", refine=True, verbose=0,
+                     coarse_smoother=SmootherType.CHEBYSHEV,
+                     coarse_op_dtype="bfloat16")
+    s = amg.AMGSolver(a, pars, log=lambda *x: None)
+    import jax.numpy as jnp
+    assert s.mg.levels[1].a.vals.dtype == jnp.bfloat16
+    x, info = s.solve(b)
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
