@@ -66,6 +66,14 @@ class _NativeLib:
         ]
         dll.greedy_color.restype = i64
         dll.greedy_color.argtypes = [i64, p_i64, p_i32, p_i64]
+        dll.dir_interp_values.restype = i32
+        dll.dir_interp_values.argtypes = [
+            i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_i64, p_f64,
+        ]
+        dll.csr_transpose.restype = i32
+        dll.csr_transpose.argtypes = [
+            i64, i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_f64,
+        ]
 
     # -- wrappers ------------------------------------------------------
 
@@ -115,6 +123,28 @@ class _NativeLib:
         self._dll.std_interp_values(
             a.n_rows, ap, aj, av, sp, sj, pp, pj, v, p.data
         )
+
+    def dir_interp_values(self, a, vec, p):
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        av = np.ascontiguousarray(a.data, dtype=np.float64)
+        pp = np.ascontiguousarray(p.indptr, dtype=np.int64)
+        pj = np.ascontiguousarray(p.indices, dtype=np.int32)
+        v = np.ascontiguousarray(vec, dtype=np.int64)
+        self._dll.dir_interp_values(a.n_rows, ap, aj, av, pp, pj, v, p.data)
+
+    def csr_transpose(self, a):
+        from ..sparse import CSR
+
+        m, n = a.n_rows, a.n_cols
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        av = np.ascontiguousarray(a.data, dtype=np.float64)
+        tp = np.zeros(n + 1, dtype=np.int64)
+        tj = np.zeros(a.nnz, dtype=np.int32)
+        tv = np.zeros(a.nnz, dtype=np.float64)
+        self._dll.csr_transpose(m, n, ap, aj, av, tp, tj, tv)
+        return CSR(tp, tj, tv, (n, m))
 
     def greedy_color(self, a):
         """Greedy sequential coloring of A's symmetrized pattern.

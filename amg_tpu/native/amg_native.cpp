@@ -432,6 +432,62 @@ int32_t std_interp_values(
 }
 
 // ---------------------------------------------------------------------------
+// Direct interpolation values (reference DIR_Step_1,
+// amg/Setup/SSS_inter.cu:104-210): per F row split off-diagonals into
+// negative/positive sums over all neighbors (amN/apN) and over the P
+// pattern's interpolatory neighbors (amP/apP); alpha=amN/amP,
+// beta=apN/apP (or fold positive mass into the diagonal when the row has
+// no positive interpolatory couplings); P_ij = -alpha*a_ij/aii (neg) or
+// -beta*a_ij/aii (pos).  C rows get weight 1.
+// ---------------------------------------------------------------------------
+
+int32_t dir_interp_values(
+    int64_t n,
+    const int64_t* ap, const int32_t* aj, const double* av,
+    const int64_t* pp, const int32_t* pj,
+    const int64_t* vec,   // C/F markers (CGPT == 1, FGPT == 0)
+    double* pv)
+{
+    std::vector<int64_t> mark((size_t)n, -1);  // col -> row stamp (pattern)
+    for (int64_t i = 0; i < n; ++i) {
+        if (vec[i] == 1) {  // CGPT: identity weight
+            for (int64_t k = pp[i]; k < pp[i + 1]; ++k) pv[k] = 1.0;
+            continue;
+        }
+        if (vec[i] != 0) continue;  // ISPT: empty row
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k)
+            mark[(size_t)pj[k]] = i;
+        double aii = 0.0, amN = 0.0, amP = 0.0, apN = 0.0, apP = 0.0;
+        int64_t npc = 0;
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k) {
+            const int64_t j = aj[k];
+            const double v = av[k];
+            if (j == i) { aii = v; continue; }
+            if (v > 0.0) {
+                apN += v;
+                if (mark[(size_t)j] == i) { apP += v; ++npc; }
+            } else {
+                amN += v;
+                if (mark[(size_t)j] == i) amP += v;
+            }
+        }
+        const double alpha = (amP != 0.0) ? amN / amP : 0.0;
+        double beta = 0.0;
+        if (npc > 0) beta = (apP != 0.0) ? apN / apP : 0.0;
+        else aii += apN;  // fold positive mass into the diagonal
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k) {
+            // find a_{i, pj[k]}: scan the row (rows are short)
+            double a_ik = 0.0;
+            for (int64_t m = ap[i]; m < ap[i + 1]; ++m)
+                if (aj[m] == pj[k]) { a_ik = av[m]; break; }
+            pv[k] = (a_ik > 0.0) ? -beta * a_ik / aii
+                                 : -alpha * a_ik / aii;
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Greedy sequential graph coloring over the symmetrized pattern of A.
 //
 // Rows of one color are mutually independent, so a vectorized update of a

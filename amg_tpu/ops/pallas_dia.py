@@ -116,6 +116,11 @@ def usable(a, x) -> bool:
     matching float dtype, VMEM fit."""
     if _platform() != "tpu":
         return False
+    # single-device only for now: under GSPMD the un-annotated pallas_call
+    # would force replication of its operands (a shard_map ring variant is
+    # the multi-chip path)
+    if jax.device_count() > 1:
+        return False
     nd = len(a.offsets)
     if nd < MIN_DIAGS:
         return False

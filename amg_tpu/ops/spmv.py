@@ -59,7 +59,10 @@ def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
     xp = jnp.pad(x, (lo, hi))
 
     chunk = 16
-    if nd <= 256:
+    # unroll generously: device-side loops (scan) serialize per-iteration
+    # through remote-execution relays, and embedding caps stencils at
+    # ~embed_max_diags anyway
+    if nd <= 512:
         y = jnp.zeros((pad,), x.dtype)
         for k, off in enumerate(a.offsets):
             start = lo + off

@@ -252,15 +252,104 @@ class DistAMGSolver:
         self._step_fn = jax.jit(_step_fn)
         self._step = lambda x, b: self._step_fn(self.mg, x, b)
 
+        # mixed-precision defect correction (sharded): f64 level-0 operator
+        # row-sharded like the rest of the hierarchy
+        self.a0_hi = None
+        if pars.refine and self.dtype != jnp.float64:
+            from ..hierarchy import _pick_format
+            from ..sparse import CSR as _CSR
+
+            fmt = _pick_format(a, pars)
+            if fmt == "dia":
+                hi = Dia.from_csr(a, dtype=jnp.float64, pad_rows_to=self.pad)
+                hi = _pad_dia_multiple(hi, self.ndev)
+                vals = jax.device_put(hi.vals,
+                                      NamedSharding(self.mesh, P(None, "x")))
+                self.a0_hi = Dia(vals, hi.offsets, hi.shape, hi.nnz)
+            else:
+                hi = Ell.from_csr(a, dtype=jnp.float64, pad_rows_to=self.pad)
+                hi = _pad_rows_multiple(hi, self.ndev)
+                self.a0_hi = Ell(
+                    jax.device_put(hi.cols, _row_sharding(self.mesh, 2)),
+                    jax.device_put(hi.vals, _row_sharding(self.mesh, 2)),
+                    hi.shape, hi.nnz,
+                )
+
+            k = max(pars.refine_inner_cycles, 1)
+
+            def _refine_fn(mg, a_hi, x_hi, b_hi):
+                r_hi = b_hi - spmv(a_hi, x_hi)[: b_hi.shape[0]]
+                rn = norm2(r_hi)
+                scale = jnp.where(rn > 0, rn, 1.0)
+                r_lo = (r_hi / scale).astype(self.dtype)
+                e = jnp.zeros_like(r_lo)
+                for _ in range(k):
+                    e = cycle(mg, e, r_lo, pars)
+                x_hi = x_hi + e.astype(jnp.float64) * scale
+                r2 = b_hi - spmv(a_hi, x_hi)[: b_hi.shape[0]]
+                return x_hi, norm2(r2)
+
+            self._refine_fn = jax.jit(_refine_fn)
+            self._refine_step = lambda x, b: self._refine_fn(
+                self.mg, self.a0_hi, x, b
+            )
+
     def _pad_vec(self, v):
         out = np.zeros(self.pad, dtype=self.dtype)
         out[: self.a.n_rows] = np.asarray(v, dtype=self.dtype)[: self.a.n_rows]
         return shard_vector(out, self.mesh)
 
+    def solve_refined(self, b, x0=None):
+        """Sharded mixed-precision defect correction (see
+        AMGSolver.solve_refined)."""
+        from ..params import SolveInfo
+        from ..solve.driver import print_itinfo
+        import time
+
+        pars = self.pars
+        n = self.a.n_rows
+        k = max(pars.refine_inner_cycles, 1)
+        b_hi = np.zeros(self.pad)
+        b_hi[:n] = np.asarray(b, dtype=np.float64)[:n]
+        x_hi = np.zeros(self.pad)
+        if x0 is not None:
+            x_hi[:n] = np.asarray(x0, dtype=np.float64)[:n]
+        b_hi = shard_vector(b_hi, self.mesh)
+        x_hi = shard_vector(x_hi, self.mesh)
+
+        info = SolveInfo()
+        sumb = float(jnp.linalg.norm(b_hi))
+        if sumb == 0.0:
+            return np.zeros(n), info
+        absres0 = sumb
+        t0 = time.perf_counter()
+        if pars.verbose:
+            print_itinfo(pars.stop_type, 0, 1.0, sumb, 0.0)
+        info.residuals.append(sumb)
+        for outer in range(1, max(pars.max_it // k, 1) + 1):
+            x_hi, absres_d = self._refine_step(x_hi, b_hi)
+            absres = float(absres_d)
+            relres = absres / sumb
+            factor = (absres / absres0) ** (1.0 / k)
+            absres0 = absres
+            if pars.verbose:
+                print_itinfo(pars.stop_type, outer * k, relres, absres,
+                             factor)
+            info.ares, info.rres, info.nits = absres, relres, outer * k
+            info.residuals.append(absres)
+            if relres < pars.tol:
+                break
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        return np.asarray(x_hi[:n]), info
+
     def solve(self, b, x0=None):
         from ..params import SolveInfo
         from ..solve.driver import print_itinfo
         import time
+
+        if self.a0_hi is not None:
+            return self.solve_refined(b, x0)
 
         pars = self.pars
         n = self.a.n_rows

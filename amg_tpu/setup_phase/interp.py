@@ -38,22 +38,29 @@ def p_pattern_dir(s: CSR, vec: np.ndarray, n_coarse: int) -> CSR:
     rows_s = np.repeat(np.arange(n, dtype=np.int64), np.diff(sp))
     keep = (vec[rows_s] == FGPT) & (vec[sj] == CGPT)
 
-    rows = rows_s[keep]
-    cols = sj[keep].astype(np.int64)
-    c_rows = np.flatnonzero(vec == CGPT)
-    rows = np.concatenate([rows, c_rows])
-    cols = np.concatenate([cols, c_rows])
-    # order: row-major; within F rows preserve S order (stable sort on rows)
-    order = np.argsort(rows, kind="stable")
-    rows, cols = rows[order], cols[order]
+    rows_f = rows_s[keep]          # row-major already (keep preserves order)
+    cols_f = sj[keep].astype(np.int64)
+    is_c = vec == CGPT
 
+    deg = np.bincount(rows_f, minlength=n).astype(np.int64)
+    deg[is_c] = 1                   # C rows: identity entry
     indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, rows + 1, 1)
-    np.cumsum(indptr, out=indptr)
+    np.cumsum(deg, out=indptr[1:])
+
+    indices = np.empty(int(indptr[-1]), dtype=np.int32)
+    # F entries: within-row ordinal from the running stream position
+    if len(rows_f):
+        deg_f = np.bincount(rows_f, minlength=n).astype(np.int64)
+        start_f = np.zeros(n, dtype=np.int64)
+        np.cumsum(deg_f[:-1], out=start_f[1:])
+        ordinal = np.arange(len(rows_f), dtype=np.int64) - start_f[rows_f]
+        indices[indptr[rows_f] + ordinal] = cols_f
+    c_rows = np.flatnonzero(is_c)
+    indices[indptr[c_rows]] = c_rows
     return CSR(
         indptr,
-        cols.astype(np.int32),
-        np.zeros(len(cols), dtype=np.float64),
+        indices,
+        np.zeros(len(indices), dtype=np.float64),
         (n, n_coarse),
     )
 
@@ -119,6 +126,13 @@ def interp_dir_values(a: CSR, vec: np.ndarray, p: CSR) -> None:
 
     C rows get the single weight 1.0.
     """
+    try:
+        from ..native import lib as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        _native.dir_interp_values(a, vec, p)
+        return
     n = a.n_rows
     rows_a = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
     is_diag = a.indices == rows_a

@@ -34,14 +34,16 @@ def strength_matrix(
     absval = np.abs(a.data)
     is_diag = a.indices == rows
 
-    # row_sum over all entries
+    # segment reductions over the (row-major) entry stream: reduceat is
+    # orders of magnitude faster than np.ufunc.at's unbuffered scatter
+    nonempty = deg > 0
+    starts = a.indptr[:-1][nonempty]
     row_sum = np.zeros(n)
-    np.add.at(row_sum, rows, absval)
-
-    # row_scl = max off-diagonal |a_ij|
-    offabs = np.where(is_diag, 0.0, absval)
     row_scl = np.zeros(n)
-    np.maximum.at(row_scl, rows, offabs)
+    offabs = np.where(is_diag, 0.0, absval)
+    if len(starts):
+        row_sum[nonempty] = np.add.reduceat(absval, starts)
+        row_scl[nonempty] = np.maximum.reduceat(offabs, starts)
     row_scl *= strong_threshold
 
     # diagonal values (first occurrence per row, like SSS_mat_get_diag)
@@ -62,7 +64,7 @@ def strength_matrix(
     keep_cols = a.indices[strong]
 
     indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, keep_rows + 1, 1)
+    indptr[1:] = np.bincount(keep_rows, minlength=n)
     np.cumsum(indptr, out=indptr)
     # entries already in row-major CSR order since `strong` preserves order
     return CSR(

@@ -72,6 +72,15 @@ class CSR:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals, dtype=np.float64)
+        # fast path: already in strict CSR order (common for re-indexed /
+        # generated matrices) -> skip the O(nnz log nnz) lexsort entirely
+        if len(rows):
+            key = rows * shape[1] + cols
+            if np.all(np.diff(key) > 0):
+                indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+                indptr[1:] = np.bincount(rows, minlength=shape[0])
+                np.cumsum(indptr, out=indptr)
+                return CSR(indptr, cols.astype(np.int32), vals, tuple(shape))
         order = np.lexsort((cols, rows))
         rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and len(rows):
@@ -83,7 +92,7 @@ class CSR:
                 np.add.at(out_vals, grp, vals)
                 rows, cols, vals = rows[keep], cols[keep], out_vals
         indptr = np.zeros(shape[0] + 1, dtype=np.int64)
-        np.add.at(indptr, rows + 1, 1)
+        indptr[1:] = np.bincount(rows, minlength=shape[0])
         np.cumsum(indptr, out=indptr)
         return CSR(indptr, cols.astype(np.int32), vals, tuple(shape))
 
@@ -155,12 +164,18 @@ class CSR:
 
     def transpose(self) -> "CSR":
         """Two-pass histogram transpose (reference ``SSS_mat_trans``,
-        amg/SSS_matvec.c:330-387) — vectorized."""
+        amg/SSS_matvec.c:330-387)."""
+        try:
+            from .native import lib as _native
+        except Exception:
+            _native = None
+        if _native is not None and self.nnz:
+            return _native.csr_transpose(self)
         n_rows, n_cols = self.shape
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), self.row_degrees)
         order = np.argsort(self.indices, kind="stable")
         new_indptr = np.zeros(n_cols + 1, dtype=np.int64)
-        np.add.at(new_indptr, self.indices + 1, 1)
+        new_indptr[1:] = np.bincount(self.indices, minlength=n_cols)
         np.cumsum(new_indptr, out=new_indptr)
         return CSR(
             new_indptr,

@@ -105,7 +105,7 @@ def main():
     # latency (which dominates through a remote-execution relay)
     e = solver.mg.levels[0].a
     x = jnp.ones(solver.pad, dtype=solver.dtype)
-    reps = 50
+    reps = 400  # chain must dwarf the ~28ms dispatch+fetch RTT noise
 
     def _chain(a_op, x):
         # static unroll: device control flow is pathological on the relay
@@ -113,16 +113,21 @@ def main():
             x = spmv(a_op, x) * (1.0 / n_side)
         return x
 
-    f = jax.jit(_chain)
-    y = f(e, x)
-    y.block_until_ready()
-    t0 = time.perf_counter()
-    y = f(e, y)
-    y.block_until_ready()
-    spmv_s = (time.perf_counter() - t0) / reps
+    def _fetch_time(fn, *args):
+        y = fn(*args)
+        v = float(jnp.sum(y))  # noqa: F841  (full sync through the relay)
+        t0 = time.perf_counter()
+        y = fn(*args)
+        v = float(jnp.sum(y))  # noqa: F841
+        return time.perf_counter() - t0
+
+    base_s = _fetch_time(jax.jit(lambda q: q + 1.0), x)
+    t_chain = _fetch_time(jax.jit(_chain), e, x)
+    spmv_s = max((t_chain - base_s) / reps, 1e-9)
     spmv_nnz_s = a.nnz / spmv_s
     log(f"spmv: {spmv_s*1e3:.3f} ms -> {spmv_nnz_s/1e9:.3f} Gnnz/s, "
-        f"{2*a.nnz/spmv_s/1e9:.2f} GFLOP/s")
+        f"{2*a.nnz/spmv_s/1e9:.2f} GFLOP/s "
+        f"(dispatch+fetch baseline {base_s*1e3:.1f} ms subtracted)")
 
     # -- full solve (host loop over the jitted cycle+residual step; one
     # device sync per iteration — the jitted-while_loop variant

@@ -101,3 +101,22 @@ def test_dist_cg_psum():
     assert bool(conv)
     np.testing.assert_allclose(np.asarray(x)[: a.n_rows], x_true,
                                rtol=1e-6, atol=1e-7)
+
+
+@requires_multidevice
+def test_dist_refine_matches_single():
+    """Sharded defect correction reaches the same tolerance as single-chip."""
+    from amg_tpu.params import SmootherType
+
+    a = amg.poisson3d(10)
+    b = np.random.default_rng(4).standard_normal(a.n_rows)
+    pars = AMGParams(tol=1e-10, dtype="float32", refine=True, verbose=0,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    s1 = amg.AMGSolver(a, pars, log=lambda *x: None)
+    x1, i1 = s1.solve(b)
+    s2 = DistAMGSolver(a, pars, mesh=make_mesh(8), log=lambda *x: None)
+    assert s2.a0_hi is not None
+    x2, i2 = s2.solve(b)
+    r2 = b - a.matvec(x2)
+    assert np.linalg.norm(r2) / np.linalg.norm(b) < 1e-10
+    assert i1.nits == i2.nits
