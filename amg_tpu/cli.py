@@ -93,6 +93,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="mixed-precision defect correction: cycles in "
                          "--dtype, f64 outer residual")
     ap.add_argument("--refine-inner", type=int, default=d.refine_inner_cycles)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="solve on an N-device mesh (0 = single device)")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="capture a jax profiler trace of the solve to DIR")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -165,12 +169,24 @@ def main(argv=None) -> int:
     if pars.verbose:
         pars_print(pars)
 
-    from .solve.driver import solver_amg
-
     # b = x0 = ones, like the reference CLI (amg/SSS_main.c:141-145)
     b = np.ones(a.n_rows)
     x0 = np.ones(a.n_rows)
-    x, info = solver_amg(a, x0, b, pars)
+
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        if args.devices and args.devices > 1:
+            from .parallel import DistAMGSolver, make_mesh
+
+            solver = DistAMGSolver(a, pars, mesh=make_mesh(args.devices))
+            x, info = solver.solve(b, x0=x0)
+        else:
+            from .solve.driver import solver_amg
+
+            x, info = solver_amg(a, x0, b, pars)
 
     print(f"AMG residual: {info.ares:g}")
     print(f"AMG relative residual: {info.rres:g}")

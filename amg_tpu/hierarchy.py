@@ -342,7 +342,9 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
     if _pick_format(hh.a[0], pars) != "dia":
         return 0, emb
 
-    itemsize = np.dtype(pars.dtype).itemsize
+    itemsize = np.dtype(
+        pars.dtype if pars.coarse_op_dtype == "same" else pars.coarse_op_dtype
+    ).itemsize
     budget = pars.embed_max_bytes
     # with a Gauss-Seidel-family smoother, a masked sweep on an embedded
     # level costs (and compiles) n_colors full operator passes — cap
