@@ -105,29 +105,41 @@ def main():
     # latency (which dominates through a remote-execution relay)
     e = solver.mg.levels[0].a
     x = jnp.ones(solver.pad, dtype=solver.dtype)
-    reps = 400  # chain must dwarf the ~28ms dispatch+fetch RTT noise
+    # the measured chain must dwarf the ~30ms (+/- ~15ms) dispatch+fetch
+    # RTT noise: a statically-unrolled 256-SpMV program (device control
+    # flow serializes through the relay; bigger unrolls blow up compile
+    # time), dispatched K dependent times, one fetch at the end
+    chain_len = 256
+    k_disp = max(int(0.2 * 100e9 / max(a.nnz * chain_len, 1)), 1)
 
     def _chain(a_op, x):
-        # static unroll: device control flow is pathological on the relay
-        for _ in range(reps):
+        for _ in range(chain_len):
             x = spmv(a_op, x) * (1.0 / n_side)
         return x
 
+    chain_j = jax.jit(_chain)
+
+    def _run(x):
+        for _ in range(k_disp):
+            x = chain_j(e, x)
+        return float(jnp.sum(x))  # full sync through the relay
+
     def _fetch_time(fn, *args):
-        y = fn(*args)
-        v = float(jnp.sum(y))  # noqa: F841  (full sync through the relay)
+        fn(*args)
         t0 = time.perf_counter()
-        y = fn(*args)
-        v = float(jnp.sum(y))  # noqa: F841
+        fn(*args)
         return time.perf_counter() - t0
 
-    base_s = _fetch_time(jax.jit(lambda q: q + 1.0), x)
-    t_chain = _fetch_time(jax.jit(_chain), e, x)
+    base_s = _fetch_time(lambda q: float(jnp.sum(q + 1.0)), x)
+    t_chain = _fetch_time(_run, x)
+    reps = chain_len * k_disp
     spmv_s = max((t_chain - base_s) / reps, 1e-9)
     spmv_nnz_s = a.nnz / spmv_s
     log(f"spmv: {spmv_s*1e3:.3f} ms -> {spmv_nnz_s/1e9:.3f} Gnnz/s, "
         f"{2*a.nnz/spmv_s/1e9:.2f} GFLOP/s "
-        f"(dispatch+fetch baseline {base_s*1e3:.1f} ms subtracted)")
+        f"({reps} reps; dispatch+fetch baseline {base_s*1e3:.1f} ms "
+        f"subtracted; indicative only below ~10M rows — relay timing "
+        f"noise is +/-15ms)")
 
     # -- full solve (host loop over the jitted cycle+residual step; one
     # device sync per iteration — the jitted-while_loop variant
