@@ -93,6 +93,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="mixed-precision defect correction: cycles in "
                          "--dtype, f64 outer residual")
     ap.add_argument("--refine-inner", type=int, default=d.refine_inner_cycles)
+    ap.add_argument("--accel", type=str, default=d.accel,
+                    choices=["none", "cg"],
+                    help="Krylov acceleration: cg = AMG-preconditioned "
+                         "flexible CG (one cycle per iteration)")
     ap.add_argument("--devices", type=int, default=0,
                     help="solve on an N-device mesh (0 = single device)")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
@@ -124,6 +128,7 @@ def params_from_args(args) -> AMGParams:
         dtype=args.dtype,
         refine=args.refine,
         refine_inner_cycles=args.refine_inner,
+        accel=args.accel,
         verbose=0 if args.quiet else 1,
     )
 

@@ -65,17 +65,23 @@ class Level:
     # level): positions of the next level's rows in this level's embedded
     # index space, padded with an out-of-range index (scatter-dropped)
     compact_idx: Optional[jnp.ndarray] = None
+    # compact-boundary alternative (used when embedded P_E/R_E would blow
+    # the byte budget, e.g. level-2 embedding at 10M rows): this level's own
+    # row positions in the embedded index space.  The boundary then
+    # compacts the residual FIRST (one small gather) and applies compact
+    # Ell P/R on short vectors, so only A needs the big embedded array.
+    member_idx: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         leaves = (self.a, self.p, self.r, self.diag, self.inv_diag,
                   self.l1_inv, self.diag_mask, self.groups, self.gid,
-                  self.rho_dinv_a, self.compact_idx)
+                  self.rho_dinv_a, self.compact_idx, self.member_idx)
         return leaves, (self.group_cf, self.ranges)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves[:-1], group_cf=aux[0], ranges=aux[1],
-                   compact_idx=leaves[-1])
+        return cls(*leaves[:-2], group_cf=aux[0], ranges=aux[1],
+                   compact_idx=leaves[-2], member_idx=leaves[-1])
 
     @property
     def n(self) -> int:
@@ -309,22 +315,40 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
 def _embed_csr(m: CSR, row_emb: np.ndarray, col_emb: np.ndarray,
                n0: int) -> CSR:
     """Re-index a compact operator into the fine (level-0) index space."""
-    rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), m.row_degrees)
-    return CSR.from_coo(
-        row_emb[rows], col_emb[m.indices.astype(np.int64)], m.data, (n0, n0)
-    )
+    deg = m.row_degrees
+    cols = col_emb[m.indices.astype(np.int64)]
+    if m.n_rows == 0 or np.all(np.diff(row_emb) > 0):
+        # row map strictly increasing (the common case: embedding positions
+        # are sorted C-point lists): rows stay in CSR order, so build the
+        # row pointer directly instead of lexsorting nnz entries
+        indptr = np.zeros(n0 + 1, dtype=np.int64)
+        indptr[row_emb.astype(np.int64) + 1] = deg
+        np.cumsum(indptr, out=indptr)
+        return CSR(indptr, cols.astype(np.int32), m.data.copy(), (n0, n0))
+    rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), deg)
+    return CSR.from_coo(row_emb[rows], cols, m.data, (n0, n0))
 
 
 def _num_offsets_embedded(m: CSR, row_emb, col_emb) -> int:
     rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), m.row_degrees)
-    return len(np.unique(col_emb[m.indices.astype(np.int64)] - row_emb[rows]))
+    off = col_emb[m.indices.astype(np.int64)] - row_emb[rows]
+    if len(off) == 0:
+        return 0
+    # bincount over the bounded offset range is O(nnz + range), much faster
+    # than the sort inside np.unique at multi-million nnz
+    lo = off.min()
+    return int(np.count_nonzero(np.bincount(off - lo)))
 
 
 def embedding_plan(hh: HostHierarchy, pars: AMGParams):
     """Decide how deep the fine-grid embedding goes.
 
-    Returns ``(E, emb)`` where ``emb[l]`` maps level-l rows to level-0
-    positions and levels ``1..E`` (plus level-0's P/R) are embedded.
+    Returns ``(E, emb, boundary)`` where ``emb[l]`` maps level-l rows to
+    level-0 positions, levels ``1..E`` (plus level-0's P/R) are embedded,
+    and ``boundary`` is how level E hands off to the compact world:
+    ``"embedded"`` (fine-grid P_E/R_E streams) or ``"compact"`` (compact
+    the residual first, then small Ell P/R — only A_E needs the embedded
+    array, which is what keeps deep embedding affordable at 10M+ rows).
     ``E = 0`` means no embedding (compact formats everywhere).
     """
     from .params import CGPT
@@ -337,10 +361,10 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
         emb.append(emb[len(emb) - 1][cpos])
 
     if pars.embed_levels <= 0 or nl < 2:
-        return 0, emb
+        return 0, emb, None
     # level 0 must itself be a banded (Dia) operator for stencil embedding
     if _pick_format(hh.a[0], pars) != "dia":
-        return 0, emb
+        return 0, emb, None
 
     itemsize = np.dtype(
         pars.dtype if pars.coarse_op_dtype == "same" else pars.coarse_op_dtype
@@ -382,14 +406,26 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
             break
         spent += cost
         E = l
-    if E >= 1 and E < nl - 1:
-        # the boundary level also needs embedded P_E / R_E
+    boundary = None
+    if E >= 1:
+        # the boundary level needs either embedded P_E/R_E (streaming, but
+        # (nd_p + nd_r) * n0 bytes) or the compact handoff (small gather +
+        # compact Ell P/R — no extra embedded arrays at all)
         nd_p = _num_offsets_embedded(hh.p[E], emb[E], emb[E + 1])
         nd_r = _num_offsets_embedded(hh.r[E], emb[E + 1], emb[E])
         cost = (nd_p + nd_r) * n0 * itemsize
-        if max(nd_p, nd_r) > pars.embed_max_diags or spent + cost > budget:
+        emb_fits = (max(nd_p, nd_r) <= pars.embed_max_diags
+                    and spent + cost <= budget)
+        if pars.embed_boundary == "compact":
+            boundary = "compact"
+        elif emb_fits:
+            boundary = "embedded"
+        elif pars.embed_boundary == "auto":
+            boundary = "compact"
+        else:  # forced "embedded" but it doesn't fit: shrink the embedding
             E -= 1
-    return E, emb
+            boundary = "embedded" if E >= 1 else None
+    return E, emb, boundary
 
 
 def _embedded_level(
@@ -401,6 +437,7 @@ def _embedded_level(
     pad_next: Optional[int],
     dtype,
     pars: AMGParams,
+    boundary: str = "embedded",
 ) -> Level:
     """Build a fine-grid-embedded device level (all operators Dia)."""
     from .params import SMALLFLOAT, SmootherType
@@ -425,7 +462,19 @@ def _embedded_level(
 
     p_dev = r_dev = None
     compact_idx = None
-    if l < nl - 1:
+    member_idx = None
+    if l == E and l < nl - 1 and boundary == "compact":
+        # compact handoff: no embedded P_E/R_E at all.  The cycle gathers
+        # the residual at this level's member positions (a small n_E-sized
+        # gather), applies compact Ell R/P on short vectors, and
+        # scatter-adds the prolonged correction back.
+        pad_self = _round_up(max(al.n_rows, 1), 8)
+        p_dev = Ell.from_csr(hh.p[l], dtype=dtype, pad_rows_to=pad_self)
+        r_dev = Ell.from_csr(hh.r[l], dtype=dtype, pad_rows_to=pad_next)
+        idx = np.full(pad_self, pad0, dtype=np.int64)
+        idx[: len(rl)] = rl
+        member_idx = jnp.asarray(idx.astype(np.int32))
+    elif l < nl - 1:
         cl = emb[l + 1]
         pr_dtype = dtype if pars.coarse_op_dtype == "same" \
             else jnp.dtype(pars.coarse_op_dtype)
@@ -464,30 +513,7 @@ def _embedded_level(
         else pars.coarse_smoother
     rho = 1.0
     if lvl_smoother in (SmootherType.POLY, SmootherType.CHEBYSHEV):
-        from .ops.spmv import spmv
-
-        dinv_dev = jnp.asarray(inv_diag.astype(np.dtype(dtype)))
-
-        @jax.jit
-        def _power(a_op, dinv, v):
-            def body(_, c):
-                v, rho = c
-                w = (dinv * spmv(a_op, v))[: v.shape[0]]
-                nw = jnp.linalg.norm(w)
-                rho = jnp.where(nw > 0, nw / jnp.maximum(
-                    jnp.linalg.norm(v), 1e-300), rho)
-                v = jnp.where(nw > 0, w / jnp.maximum(nw, 1e-300), v)
-                return (v, rho)
-
-            return jax.lax.fori_loop(
-                0, 12, body, (v, jnp.ones((), v.dtype))
-            )[1]
-
-        rng = np.random.default_rng(0)
-        v0 = np.zeros(pad0)
-        v0[rl] = rng.random(n)
-        rho = float(_power(a_dev, dinv_dev,
-                           jnp.asarray(v0.astype(np.dtype(dtype)))))
+        rho = _rho_dinv_a_host(al)
 
     return Level(
         a=a_dev,
@@ -503,7 +529,41 @@ def _embedded_level(
         group_cf=tuple(int(t) for t in group_cf),
         ranges=None,
         compact_idx=compact_idx,
+        member_idx=member_idx,
     )
+
+
+def _rho_dinv_a_host(al: CSR, niter: int = 12) -> float:
+    """Spectral-radius estimate of ``D^{-1} A`` by host power iteration.
+
+    Runs on the host with a scipy CSR matvec: O(niter * nnz) — far cheaper
+    than compiling a per-level device program for a one-shot setup-time
+    scalar (each XLA compile costs ~1s; at 1M rows the fleet of per-level
+    power-iteration programs dominated ``to_device``).  Only the
+    Chebyshev/polynomial smoothers consume the result.
+    """
+    import scipy.sparse as sp
+
+    from .params import SMALLFLOAT
+
+    n = al.n_rows
+    if n == 0:
+        return 1.0
+    d = al.diagonal_fast()
+    dinv = np.where(np.abs(d) > SMALLFLOAT,
+                    1.0 / np.where(d != 0, d, 1.0), 0.0)
+    m = sp.csr_matrix((al.data, al.indices, al.indptr), shape=al.shape)
+    v = np.random.default_rng(0).random(n)
+    rho = 1.0
+    for _ in range(niter):
+        w = dinv * (m @ v)
+        nw = float(np.linalg.norm(w))
+        nv = float(np.linalg.norm(v))
+        if nw <= 0.0 or nv <= 0.0:
+            break
+        rho = nw / nv
+        v = w / nw
+    return float(rho)
 
 
 def _use_dia(al: CSR, pars: AMGParams) -> bool:
@@ -610,37 +670,17 @@ def _level_from_csr(
         groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
         groups_dev = jnp.asarray(np.asarray(groups, dtype=np.int32))
 
-    # spectral radius of D^{-1} A via a few power iterations, on device
-    # (only the Chebyshev/poly smoothers consume it)
+    # spectral radius of D^{-1} A (host power iteration; only the
+    # Chebyshev/poly smoothers consume it).  The coarse-smoother override
+    # applies on coarse levels, same as the cycle's dispatch.
     from .params import SmootherType
 
+    lvl_smoother = pars.smoother if (not is_coarse or
+                                     pars.coarse_smoother is None) \
+        else pars.coarse_smoother
     rho = 1.0
-    if pars.smoother in (SmootherType.POLY, SmootherType.CHEBYSHEV):
-        from .ops.spmv import spmv
-
-        dinv_dev = jnp.asarray(inv_diag.astype(np.dtype(dtype)))
-
-        # operator passed as argument (capture would inline it as literals)
-        @jax.jit
-        def _power(a_op, dinv, v):
-            def body(_, c):
-                v, rho = c
-                w = (dinv * spmv(a_op, v))[: v.shape[0]]
-                nw = jnp.linalg.norm(w)
-                rho = jnp.where(nw > 0, nw / jnp.maximum(
-                    jnp.linalg.norm(v), 1e-300), rho)
-                v = jnp.where(nw > 0, w / jnp.maximum(nw, 1e-300), v)
-                return (v, rho)
-
-            return jax.lax.fori_loop(
-                0, 12, body, (v, jnp.ones((), v.dtype))
-            )[1]
-
-        rng = np.random.default_rng(0)
-        v0 = jnp.asarray(
-            np.pad(rng.random(n), (0, pad - n)).astype(np.dtype(dtype))
-        )
-        rho = float(_power(a_dev, dinv_dev, v0))
+    if lvl_smoother in (SmootherType.POLY, SmootherType.CHEBYSHEV):
+        rho = _rho_dinv_a_host(al)
     return Level(
         a=a_dev,
         p=p_ell,
@@ -664,7 +704,8 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     nl = hh.num_levels
     if plan is None:
         plan = embedding_plan(hh, pars)
-    E, emb = plan
+    E, emb = plan[0], plan[1]
+    boundary = plan[2] if len(plan) > 2 else ("embedded" if E else None)
     # the first compact level may have been color-permuted after the plan
     # was computed; carry the permutation into its fine-position map so the
     # boundary operators (P_E/R_E, compact_idx) index it correctly
@@ -695,7 +736,8 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         if E >= 1 and l <= E:
             pad_next = pads[l + 1] if l < nl - 1 else None
             levels.append(
-                _embedded_level(hh, l, E, emb, pad0, pad_next, dtype, pars)
+                _embedded_level(hh, l, E, emb, pad0, pad_next, dtype, pars,
+                                boundary=boundary)
             )
             continue
         p = hh.p[l] if l < nl - 1 else None
@@ -708,16 +750,19 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
                             pars, gs_key=gs_key, is_coarse=l >= 1)
         )
 
-    # dense inverse of the coarsest operator (tiny: <= ~coarse_dof rows)
+    # dense inverse of the coarsest operator.  The result is stored (and
+    # applied) in the solve dtype, so invert in that dtype directly: at a
+    # few-thousand-row coarsest level the f32 LAPACK inverse is ~2x faster
+    # than inverting in f64 and then discarding the extra bits.
     ac = hh.a[-1]
     pad_c = pads[-1]
-    dense = np.zeros((pad_c, pad_c))
-    dense[: ac.n_rows, : ac.n_cols] += ac.to_dense()
+    inv_dtype = np.dtype(dtype) if np.dtype(dtype) in (
+        np.dtype(np.float32), np.dtype(np.float64)) else np.float32
     try:
-        inv = np.linalg.inv(dense[: ac.n_rows, : ac.n_cols])
+        inv = np.linalg.inv(ac.to_dense().astype(inv_dtype))
     except np.linalg.LinAlgError:
-        inv = np.linalg.pinv(dense[: ac.n_rows, : ac.n_cols])
-    full = np.zeros((pad_c, pad_c))
+        inv = np.linalg.pinv(ac.to_dense().astype(inv_dtype))
+    full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
     full[: ac.n_rows, : ac.n_cols] = inv
     return Hierarchy(
         levels=tuple(levels), coarse_inv=jnp.asarray(full.astype(np.dtype(dtype)))

@@ -30,14 +30,21 @@ def _build() -> str | None:
         tmp = _SO + ".tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            _SRC, "-o", tmp,
+            "-fopenmp", _SRC, "-o", tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, _SO)
             return _SO
         except Exception:
-            return None
+            # retry without OpenMP (toolchains missing libgomp)
+            try:
+                subprocess.run([c for c in cmd if c != "-fopenmp"],
+                               check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _SO)
+                return _SO
+            except Exception:
+                return None
 
 
 class _NativeLib:
@@ -74,6 +81,18 @@ class _NativeLib:
         dll.csr_transpose.argtypes = [
             i64, i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_f64,
         ]
+        f64 = ctypes.c_double
+        dll.strength_count.restype = None
+        dll.strength_count.argtypes = [i64, p_i64, p_i32, p_f64, f64, f64,
+                                       p_i64]
+        dll.strength_fill.restype = None
+        dll.strength_fill.argtypes = [i64, p_i64, p_i32, p_f64, f64, f64,
+                                      p_i64, p_i32]
+        dll.trunc_count.restype = None
+        dll.trunc_count.argtypes = [i64, p_i64, p_i32, p_f64, f64, p_i64]
+        dll.trunc_fill.restype = None
+        dll.trunc_fill.argtypes = [i64, p_i64, p_i32, p_f64, f64, p_i64,
+                                   p_i32, p_f64]
 
     # -- wrappers ------------------------------------------------------
 
@@ -145,6 +164,37 @@ class _NativeLib:
         tv = np.zeros(a.nnz, dtype=np.float64)
         self._dll.csr_transpose(m, n, ap, aj, av, tp, tj, tv)
         return CSR(tp, tj, tv, (n, m))
+
+    def strength(self, a, theta, max_row_sum):
+        """Strength-of-connection pattern CSR (data = ones)."""
+        from ..sparse import CSR
+
+        n = a.n_rows
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        av = np.ascontiguousarray(a.data, dtype=np.float64)
+        sp = np.zeros(n + 1, dtype=np.int64)
+        self._dll.strength_count(n, ap, aj, av, theta, max_row_sum, sp)
+        np.cumsum(sp, out=sp)
+        sj = np.zeros(sp[n], dtype=np.int32)
+        self._dll.strength_fill(n, ap, aj, av, theta, max_row_sum, sp, sj)
+        return CSR(sp, sj, np.ones(len(sj), dtype=np.float64), (n, n))
+
+    def truncate(self, p, eps):
+        """Interpolation truncation with pos/neg row-sum rescaling."""
+        from ..sparse import CSR
+
+        n = p.n_rows
+        pp = np.ascontiguousarray(p.indptr, dtype=np.int64)
+        pj = np.ascontiguousarray(p.indices, dtype=np.int32)
+        pv = np.ascontiguousarray(p.data, dtype=np.float64)
+        qp = np.zeros(n + 1, dtype=np.int64)
+        self._dll.trunc_count(n, pp, pj, pv, eps, qp)
+        np.cumsum(qp, out=qp)
+        qj = np.zeros(qp[n], dtype=np.int32)
+        qv = np.zeros(qp[n], dtype=np.float64)
+        self._dll.trunc_fill(n, pp, pj, pv, eps, qp, qj, qv)
+        return CSR(qp, qj, qv, p.shape)
 
     def greedy_color(self, a):
         """Greedy sequential coloring of A's symmetrized pattern.

@@ -14,7 +14,139 @@
 #include <vector>
 #include <algorithm>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Strength-of-connection pattern (reference strong_couplings + compress_S,
+// amg/Setup/SSS_coarsen.c:106-212).  Per row i:
+//   row_sum = sum_j |a_ij|  (diagonal included)
+//   row_scl = theta * max_{j != i} |a_ij|
+//   diagonally-dominant rows (row_sum < (2 - max_row_sum) * |a_ii|) have no
+//   strong couplings; otherwise j is strong iff -a_ij > row_scl.
+// Pass 1 (parallel) counts strong entries per row into sp[1..n]; caller
+// prefix-sums sp and allocates sj; pass 2 (parallel) fills sj.
+// ---------------------------------------------------------------------------
+
+void strength_count(
+    int64_t n, const int64_t* ap, const int32_t* aj, const double* av,
+    double theta, double max_row_sum, int64_t* sp)
+{
+    sp[0] = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        double row_sum = 0.0, off_max = 0.0, diag = 0.0;
+        bool have_diag = false;
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k) {
+            const double v = av[k];
+            const double a = v < 0 ? -v : v;
+            row_sum += a;
+            if (aj[k] == (int32_t)i) {
+                if (!have_diag) { diag = v; have_diag = true; }
+            } else if (a > off_max) {
+                off_max = a;
+            }
+        }
+        int64_t cnt = 0;
+        const double adiag = diag < 0 ? -diag : diag;
+        if (!(row_sum < (2.0 - max_row_sum) * adiag)) {
+            const double row_scl = theta * off_max;
+            for (int64_t k = ap[i]; k < ap[i + 1]; ++k)
+                if (aj[k] != (int32_t)i && -av[k] > row_scl) ++cnt;
+        }
+        sp[i + 1] = cnt;
+    }
+}
+
+void strength_fill(
+    int64_t n, const int64_t* ap, const int32_t* aj, const double* av,
+    double theta, double max_row_sum, const int64_t* sp, int32_t* sj)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        if (sp[i + 1] == sp[i]) continue;
+        double off_max = 0.0;
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k) {
+            if (aj[k] == (int32_t)i) continue;
+            const double a = av[k] < 0 ? -av[k] : av[k];
+            if (a > off_max) off_max = a;
+        }
+        const double row_scl = theta * off_max;
+        int64_t next = sp[i];
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k)
+            if (aj[k] != (int32_t)i && -av[k] > row_scl) sj[next++] = aj[k];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Interpolation truncation (reference SSS_amg_interp_trunc,
+// amg/Setup/SSS_inter.cu:16-102): per row keep entries >= eps*max_pos or
+// <= eps*min_neg, rescale kept positive/negative groups so each group's
+// row sum is preserved.  Pass 1 counts into qp[1..n] (caller prefix-sums),
+// pass 2 fills qj/qv.
+// ---------------------------------------------------------------------------
+
+void trunc_count(
+    int64_t n, const int64_t* pp, const int32_t* pj, const double* pv,
+    double eps, int64_t* qp)
+{
+    qp[0] = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        double max_pos = 0.0, min_neg = 0.0;
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k) {
+            if (pv[k] > max_pos) max_pos = pv[k];
+            if (pv[k] < min_neg) min_neg = pv[k];
+        }
+        max_pos *= eps; min_neg *= eps;
+        int64_t cnt = 0;
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k)
+            if (pv[k] >= max_pos || pv[k] <= min_neg) ++cnt;
+        qp[i + 1] = cnt;
+    }
+}
+
+void trunc_fill(
+    int64_t n, const int64_t* pp, const int32_t* pj, const double* pv,
+    double eps, const int64_t* qp, int32_t* qj, double* qv)
+{
+    const double SMALL = 1e-20;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        double max_pos = 0.0, min_neg = 0.0, sum_pos = 0.0, sum_neg = 0.0;
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k) {
+            const double v = pv[k];
+            if (v > 0) { sum_pos += v; if (v > max_pos) max_pos = v; }
+            if (v < 0) { sum_neg += v; if (v < min_neg) min_neg = v; }
+        }
+        max_pos *= eps; min_neg *= eps;
+        double tsum_pos = 0.0, tsum_neg = 0.0;
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k) {
+            const double v = pv[k];
+            if (v >= max_pos) tsum_pos += v;
+            else if (v <= min_neg) tsum_neg += v;
+        }
+        const double fac_pos = (tsum_pos > SMALL) ? sum_pos / tsum_pos : 1.0;
+        const double fac_neg = (tsum_neg < -SMALL) ? sum_neg / tsum_neg : 1.0;
+        int64_t next = qp[i];
+        for (int64_t k = pp[i]; k < pp[i + 1]; ++k) {
+            const double v = pv[k];
+            if (v >= max_pos) { qj[next] = pj[k]; qv[next++] = v * fac_pos; }
+            else if (v <= min_neg) { qj[next] = pj[k]; qv[next++] = v * fac_neg; }
+        }
+    }
+}
 
 // ---------------------------------------------------------------------------
 // SpGEMM: two-pass marker algorithm.
@@ -33,22 +165,40 @@ int64_t spgemm_count(
     const int64_t* bp, const int32_t* bj,
     int64_t* cp)
 {
-    std::vector<int64_t> marker((size_t)n, -1);
     cp[0] = 0;
+    // rows are independent given a per-thread marker array
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        std::vector<int64_t> marker((size_t)n, -1);
+#pragma omp for schedule(dynamic, 1024)
+        for (int64_t i = 0; i < m; ++i) {
+            int64_t cnt = 0;
+            for (int64_t ka = ap[i]; ka < ap[i + 1]; ++ka) {
+                const int32_t k = aj[ka];
+                for (int64_t kb = bp[k]; kb < bp[k + 1]; ++kb) {
+                    const int32_t j = bj[kb];
+                    if (marker[(size_t)j] != i) { marker[(size_t)j] = i; ++cnt; }
+                }
+            }
+            cp[i + 1] = cnt;
+        }
+    }
+#else
+    std::vector<int64_t> marker((size_t)n, -1);
     for (int64_t i = 0; i < m; ++i) {
         int64_t cnt = 0;
         for (int64_t ka = ap[i]; ka < ap[i + 1]; ++ka) {
             const int32_t k = aj[ka];
             for (int64_t kb = bp[k]; kb < bp[k + 1]; ++kb) {
                 const int32_t j = bj[kb];
-                if (marker[(size_t)j] != i) {
-                    marker[(size_t)j] = i;
-                    ++cnt;
-                }
+                if (marker[(size_t)j] != i) { marker[(size_t)j] = i; ++cnt; }
             }
         }
-        cp[i + 1] = cp[i] + cnt;
+        cp[i + 1] = cnt;
     }
+#endif
+    for (int64_t i = 0; i < m; ++i) cp[i + 1] += cp[i];
     return cp[m];
 }
 
@@ -60,6 +210,35 @@ int32_t spgemm_fill(
     const int64_t* bp, const int32_t* bj, const double* bv,
     const int64_t* cp, int32_t* cj, double* cv)
 {
+    // each row writes only its own cp[i]..cp[i+1] slice -> rows are
+    // independent given per-thread workspaces
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        std::vector<int64_t> pos((size_t)n, -1);
+        std::vector<int64_t> stamp((size_t)n, -1);
+#pragma omp for schedule(dynamic, 1024)
+        for (int64_t i = 0; i < m; ++i) {
+            int64_t next = cp[i];
+            for (int64_t ka = ap[i]; ka < ap[i + 1]; ++ka) {
+                const int32_t k = aj[ka];
+                const double a = av[ka];
+                for (int64_t kb = bp[k]; kb < bp[k + 1]; ++kb) {
+                    const int32_t j = bj[kb];
+                    if (stamp[(size_t)j] != i) {
+                        stamp[(size_t)j] = i;
+                        pos[(size_t)j] = next;
+                        cj[next] = j;
+                        cv[next] = a * bv[kb];
+                        ++next;
+                    } else {
+                        cv[pos[(size_t)j]] += a * bv[kb];
+                    }
+                }
+            }
+        }
+    }
+#else
     std::vector<int64_t> pos((size_t)n, -1);   // column -> output slot
     std::vector<int64_t> stamp((size_t)n, -1);
     for (int64_t i = 0; i < m; ++i) {
@@ -81,6 +260,7 @@ int32_t spgemm_fill(
             }
         }
     }
+#endif
     return 0;
 }
 

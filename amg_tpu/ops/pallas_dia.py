@@ -64,6 +64,18 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
     # and i64 scalars fail Mosaic lowering
     i32 = jnp.int32
 
+    # group offsets by lane remainder r: a shifted read at offset
+    # s = 128*q + r needs a lane stitch (shuffle) that depends only on r,
+    # so do it ONCE per distinct r over the whole window and serve every
+    # diagonal in the group with free static row slices.  Stencil offset
+    # sets share few distinct remainders (e.g. +/-1, +/-n, +/-n^2 families),
+    # so this cuts the lane-shuffle work ~nd/n_remainders times — the gap
+    # that kept the kernel ~1.6x off speed of light.
+    by_r: dict = {}
+    for k, off in enumerate(offsets):
+        q, r = divmod(lo + off, 128)
+        by_r.setdefault(r, []).append((k, q))
+
     def kernel(xp_hbm, vals_ref, out_ref, xw, sem):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
@@ -72,18 +84,16 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
         cp.start()
         cp.wait()
         acc = jnp.zeros((_T128, 128), dtype)
-        for k, off in enumerate(offsets):
-            q, r = divmod(lo + off, 128)
-            a1 = xw[q:q + _T128]
+        for r, items in by_r.items():
             if r:
-                a2 = xw[q + 1:q + _T128 + 1]
-                shifted = jnp.concatenate([a1[:, r:], a2[:, :r]], axis=1)
+                xs = jnp.concatenate([xw[:-1, r:], xw[1:, :r]], axis=1)
             else:
-                shifted = a1
-            v = vals_ref[k]
-            if vals_dtype != dtype:
-                v = v.astype(dtype)
-            acc = acc + v * shifted
+                xs = xw
+            for k, q in items:
+                v = vals_ref[k]
+                if vals_dtype != dtype:
+                    v = v.astype(dtype)
+                acc = acc + v * xs[q:q + _T128]
         out_ref[:] = acc
 
     return pl.pallas_call(

@@ -126,6 +126,7 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
             group_cf=level.group_cf,
             ranges=level.ranges,
             compact_idx=put(level.compact_idx),
+            member_idx=put(level.member_idx),
         )
 
     def shard_rows(arr):
@@ -182,6 +183,11 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
         compact_idx=(
             jax.device_put(level.compact_idx, _replicated(mesh))
             if level.compact_idx is not None
+            else None
+        ),
+        member_idx=(
+            jax.device_put(level.member_idx, _replicated(mesh))
+            if level.member_idx is not None
             else None
         ),
     )

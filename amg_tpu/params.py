@@ -170,6 +170,13 @@ class AMGParams:
     embed_levels: int = 8
     embed_max_diags: int = 320
     embed_max_bytes: float = 6e9
+    # Boundary between the embedded and compact worlds: "embedded" applies
+    # fine-grid-embedded P_E/R_E (pure streaming, but nd * n0 bytes each),
+    # "compact" compacts the residual first (one small gather) and applies
+    # compact Ell P/R on short vectors (only A_E needs the embedded array —
+    # how deep embedding stays affordable at 10M+ rows).  "auto" picks
+    # embedded when it fits the byte budget, else compact.
+    embed_boundary: str = "auto"
     # Smoother override for levels >= 1 (None = pars.smoother everywhere).
     # Masked Gauss-Seidel on an embedded level costs n_colors full operator
     # passes per sweep; Chebyshev costs poly_deg passes regardless.
@@ -186,6 +193,13 @@ class AMGParams:
     # arithmetic (SURVEY.md section 7 hard part 4).
     refine: bool = False
     refine_inner_cycles: int = 4
+    # Krylov acceleration: "none" = stand-alone cycling (reference
+    # behavior), "cg" = flexible CG with one AMG cycle as the
+    # preconditioner (standard production mode; typically 30-50% fewer
+    # cycles at tight tolerances).  Combines with mixed precision: the
+    # FCG outer iteration runs in f64 against the f64 operator while the
+    # preconditioner cycle runs in `dtype`.
+    accel: str = "none"
     # Multi-device settings
     coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
 

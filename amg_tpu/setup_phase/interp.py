@@ -313,6 +313,15 @@ def truncate(p: CSR, trunc_threshold: float) -> CSR:
     """Truncate small P entries, rescaling kept positive/negative groups so
     each group's row sum is preserved (reference ``SSS_amg_interp_trunc``,
     amg/Setup/SSS_inter.cu:16-102)."""
+    from ..native import lib
+
+    if lib is not None:
+        return lib.truncate(p, trunc_threshold)
+    return _truncate_py(p, trunc_threshold)
+
+
+def _truncate_py(p: CSR, trunc_threshold: float) -> CSR:
+    """Vectorized-numpy fallback (semantics identical to the native path)."""
     n = p.n_rows
     rows = np.repeat(np.arange(n, dtype=np.int64), p.row_degrees)
     v = p.data

@@ -28,6 +28,17 @@ def strength_matrix(
     a: CSR, strong_threshold: float = 0.3, max_row_sum: float = 0.9
 ) -> CSR:
     """Return S: pattern CSR of strong couplings (data = ones)."""
+    from ..native import lib
+
+    if lib is not None:
+        return lib.strength(a, strong_threshold, max_row_sum)
+    return _strength_matrix_py(a, strong_threshold, max_row_sum)
+
+
+def _strength_matrix_py(
+    a: CSR, strong_threshold: float = 0.3, max_row_sum: float = 0.9
+) -> CSR:
+    """Vectorized-numpy fallback (semantics identical to the native path)."""
     n = a.n_rows
     deg = a.row_degrees
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)

@@ -62,17 +62,35 @@ def _cycle_level(mg: Hierarchy, l: int, x, b, pars: AMGParams, ctol):
         x = smooth(level, x, b, pars_l, pars.pre_iter, pre=True)
         # restrict residual
         r = b - spmv(level.a, x)
-        bc = spmv(level.r, r)
-        if level.compact_idx is not None:
-            # fine-grid-embedded -> compact boundary (one small gather);
-            # padding slots clamp to an arbitrary entry, so mask them off
-            bc = bc[level.compact_idx]
+        if level.member_idx is not None:
+            # compact boundary: gather the residual at this level's member
+            # positions (n_E-sized — small), then compact Ell restriction.
+            # Gather padding slots clamp to an arbitrary entry; the compact
+            # P rows are static so mask by its true row count.
+            rc = r[level.member_idx]
+            rc = jnp.where(
+                jnp.arange(rc.shape[0]) < level.p.n_rows, rc, 0.0)
+            bc = spmv(level.r, rc)
             nn = mg.levels[l + 1].n
             bc = jnp.where(jnp.arange(bc.shape[0]) < nn, bc, 0.0)
+        else:
+            bc = spmv(level.r, r)
+            if level.compact_idx is not None:
+                # fine-grid-embedded -> compact boundary (one small
+                # gather); padding slots clamp, so mask them off
+                bc = bc[level.compact_idx]
+                nn = mg.levels[l + 1].n
+                bc = jnp.where(jnp.arange(bc.shape[0]) < nn, bc, 0.0)
         xc = jnp.zeros_like(bc)
         # coarse correction
         xc = _cycle_level(mg, l + 1, xc, bc, pars, ctol)
-        if level.compact_idx is not None:
+        if level.member_idx is not None:
+            # compact prolongation on the short vector, then scatter-add
+            # back into the embedded index space (padding drops)
+            xe_c = spmv(level.p, xc)
+            x = x.at[level.member_idx].add(
+                xe_c.astype(x.dtype), mode="drop")
+        elif level.compact_idx is not None:
             # compact -> embedded (one small scatter; padding drops)
             xe = jnp.zeros_like(x).at[level.compact_idx].set(
                 xc, mode="drop")

@@ -140,6 +140,37 @@ class AMGSolver:
                 self.mg, self.a0_hi, x, b
             )
 
+        # -- Krylov acceleration (AMG-preconditioned flexible CG) -------
+        if pars.accel == "cg":
+            from .krylov import fcg_init, fcg_step
+
+            hi = self.a0_hi is not None
+            self._accel_dtype = jnp.float64 if hi else self.dtype
+
+            def _amul(mg, a_hi, v):
+                a_op = a_hi if hi else mg.levels[0].a
+                return spmv(a_op, v)[: v.shape[0]]
+
+            def _prec(mg, r):
+                """One AMG cycle in `dtype` on the (scaled) residual."""
+                rn = norm2(r)
+                scale = jnp.where(rn > 0, rn, 1.0)
+                r_lo = (r / scale).astype(self.dtype)
+                e = cycle(mg, jnp.zeros_like(r_lo), r_lo, pars)
+                return e.astype(self._accel_dtype) * scale
+
+            def _accel_init(mg, a_hi, x, b):
+                st = fcg_init(lambda v: _amul(mg, a_hi, v),
+                              lambda r: _prec(mg, r), b, x)
+                return st, norm2(st[1])
+
+            def _accel_step(mg, a_hi, st):
+                return fcg_step(lambda v: _amul(mg, a_hi, v),
+                                lambda r: _prec(mg, r), st)
+
+            self._accel_init_fn = jax.jit(_accel_init)
+            self._accel_step_fn = jax.jit(_accel_step)
+
     # ------------------------------------------------------------------
 
     def _pad_vec(self, v) -> jnp.ndarray:
@@ -149,6 +180,8 @@ class AMGSolver:
 
     def solve(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Host-loop solve with live residual table (reference parity)."""
+        if self.pars.accel == "cg":
+            return self.solve_pcg(b, x0)
         if self.a0_hi is not None:
             return self.solve_refined(b, x0)
         pars = self.pars
@@ -249,6 +282,72 @@ class AMGSolver:
         if pars.verbose:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
         return np.asarray(x_hi[:n]), info
+
+    def solve_pcg(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
+        """AMG-preconditioned flexible CG (``pars.accel == "cg"``).
+
+        Each iteration applies one AMG cycle (in ``pars.dtype``) as the
+        preconditioner inside an FCG iteration running in f64 when
+        ``pars.refine`` is set (mixed precision), else in ``pars.dtype``.
+        ``info.nits`` counts FCG iterations (= cycles, comparable to
+        :meth:`solve`).
+        """
+        pars = self.pars
+        n = self.a.n_rows
+        adt = self._accel_dtype
+
+        bd = jnp.asarray(np.pad(np.asarray(b, dtype=adt)[:n],
+                                (0, self.pad - n)))
+        xd = jnp.asarray(np.pad(
+            np.asarray(x0 if x0 is not None else np.zeros(n),
+                       dtype=adt)[:n], (0, self.pad - n)))
+
+        info = SolveInfo()
+        sumb = float(norm2(bd))
+        t0 = time.perf_counter()
+        if pars.verbose:
+            print_itinfo(pars.stop_type, 0, 1.0, sumb, 0.0, log=self.log)
+        if sumb == 0.0:
+            return np.zeros(n), info
+
+        st, absres_d = self._accel_init_fn(self.mg, self.a0_hi, xd, bd)
+        absres0 = float(absres_d)
+        info.residuals.append(absres0)
+        # quiet mode batches residual fetches (a device->host sync costs
+        # tens of ms through the remote-execution relay; dispatches are
+        # cheap), same as :meth:`solve`
+        check_every = 1 if pars.verbose else 4
+        pending: list = []  # (it, device x, device absres)
+        xd = st[0]
+        stop = False
+        for it in range(1, pars.max_it + 1):
+            st, absres_d = self._accel_step_fn(self.mg, self.a0_hi, st)
+            pending.append((it, st[0], absres_d))
+            if len(pending) >= check_every or it == pars.max_it:
+                batch = jnp.stack([r for _, _, r in pending])
+                vals = np.asarray(batch)  # one sync for the whole batch
+                for (it_i, x_i, _), absres in zip(pending, vals):
+                    absres = float(absres)
+                    relres = absres / sumb
+                    factor = absres / absres0 if absres0 > 0 else 0.0
+                    absres0 = absres
+                    if pars.verbose:
+                        print_itinfo(pars.stop_type, it_i, relres, absres,
+                                     factor, log=self.log)
+                    info.ares, info.rres, info.nits = absres, relres, it_i
+                    info.residuals.append(absres)
+                    xd = x_i
+                    if relres < pars.tol:
+                        stop = True
+                        break
+                pending = []
+            if stop:
+                break
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        if pars.verbose:
+            self.log(f"AMG solve time: {info.solve_seconds:g} s")
+        return np.asarray(xd[:n]), info
 
     def solve_jit(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Fully-jitted solve (no per-iteration host sync)."""

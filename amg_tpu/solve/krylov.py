@@ -83,6 +83,68 @@ def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None):
     return x, converged
 
 
+def fcg_init(amul, prec, b, x0, axis_name=None):
+    """Initial state for flexible CG: ``(x, r, z, p, rho)``."""
+    r0 = b - amul(x0)
+    z0 = prec(r0)
+    rho0 = dot(z0, r0, axis_name)
+    return (x0, r0, z0, z0, rho0)
+
+
+def fcg_step(amul, prec, state, axis_name=None):
+    """One flexible-CG iteration (Notay's FCG / IPCG).
+
+    Flexible CG tolerates a *variable* preconditioner — exactly what one AMG
+    V-cycle in low precision with Krylov coarsest solves is — by computing
+    beta with the Polak-Ribiere form ``<z_new, r_new - r_old> / <z_old,
+    r_old>`` instead of the Fletcher-Reeves ratio.  Costs one extra dot per
+    iteration vs. standard PCG.
+
+    Returns ``(state, absres)``.
+    """
+    x, r, z, p, rho = state
+    q = amul(p)
+    denom = dot(p, q, axis_name)
+    alpha = jnp.where(denom != 0, dot(p, r, axis_name)
+                      / jnp.where(denom != 0, denom, 1.0), 0.0)
+    x = x + alpha * p
+    r_new = r - alpha * q
+    z_new = prec(r_new)
+    rho_new = dot(z_new, r_new, axis_name)
+    # <z_new, r_new - r_old> = <z_new, -alpha q>
+    rho_pr = rho_new - dot(z_new, r, axis_name)
+    beta = jnp.where(rho != 0, rho_pr / jnp.where(rho != 0, rho, 1.0), 0.0)
+    p = z_new + beta * p
+    return (x, r_new, z_new, p, rho_new), norm2(r_new, axis_name)
+
+
+def fcg(a, b, x0, tol=1e-7, maxit=100, M=None, axis_name=None):
+    """Flexible preconditioned CG under one ``lax.while_loop``.
+
+    Returns ``(x, nits, absres)``.  Stopping: ``||r|| / ||b|| < tol``
+    (the AMG outer-loop criterion, amg/Solve/SSS_SOLVE.c:64-79, not the
+    coarsest-CG criterion).
+    """
+    amul = _as_op(a)
+    prec = M if M is not None else (lambda v: v)
+    sumb = jnp.maximum(norm2(b, axis_name), SMALLFLOAT)
+    st0 = fcg_init(amul, prec, b, x0, axis_name)
+    absres0 = norm2(st0[1], axis_name)
+
+    def cond(c):
+        st, it, absres = c
+        return (it < maxit) & (absres / sumb >= tol)
+
+    def body(c):
+        st, it, absres = c
+        st, absres = fcg_step(amul, prec, st, axis_name)
+        return (st, it + 1, absres)
+
+    st, it, absres = jax.lax.while_loop(
+        cond, body, (st0, jnp.zeros((), jnp.int32), absres0))
+    return st[0], it, absres
+
+
 def gmres(a, b, x0, tol=1e-7, maxit=1000, restart=30, M=None, axis_name=None):
     """Restarted GMRES(m) with MGS + Givens. Returns ``(x, converged)``."""
     amul = _as_op(a)

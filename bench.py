@@ -78,6 +78,7 @@ def main():
     # level); level 0 keeps the configured smoother.
     coarse_sm = os.environ.get("AMG_BENCH_COARSE_SMOOTHER", "CHEBYSHEV")
     coarse_od = os.environ.get("AMG_BENCH_COARSE_OP_DTYPE", "bfloat16")
+    accel = os.environ.get("AMG_BENCH_ACCEL", "cg")
     pars = amg.AMGParams(
         tol=tol,
         dtype=dtype,
@@ -87,6 +88,7 @@ def main():
         verbose=0,
         max_it=60,
         refine=refine,
+        accel=accel,
     )
 
     t0 = time.perf_counter()
