@@ -94,9 +94,10 @@ def build_argparser() -> argparse.ArgumentParser:
                          "--dtype, f64 outer residual")
     ap.add_argument("--refine-inner", type=int, default=d.refine_inner_cycles)
     ap.add_argument("--accel", type=str, default=d.accel,
-                    choices=["none", "cg"],
+                    choices=["none", "cg", "gmres"],
                     help="Krylov acceleration: cg = AMG-preconditioned "
-                         "flexible CG (one cycle per iteration)")
+                         "flexible CG (one cycle per iteration); gmres = "
+                         "AMG-right-preconditioned GMRES (nonsymmetric)")
     ap.add_argument("--devices", type=int, default=0,
                     help="solve on an N-device mesh (0 = single device)")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",

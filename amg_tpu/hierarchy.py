@@ -190,16 +190,22 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
 
         failed = s.nnz <= 0
         vec = None
+        agg = None
         col = 0
         if not failed:
             if cs_type == CoarsenType.RS:
                 vec, col = rs_split(s)
             elif cs_type == CoarsenType.PMIS:
                 vec, col = pmis_split(s)
+            elif cs_type == CoarsenType.SA:
+                from .setup_phase.aggregation import aggregate
+
+                agg, col = aggregate(s)
             else:  # RSP falls back to RS (reference leaves RSP unimplemented,
                    # amg/Setup/SSS_coarsen.c:741-743)
                 vec, col = rs_split(s)
-            if pars.interp_type == InterpType.DIR and col > 0:
+            if pars.interp_type == InterpType.DIR and col > 0 \
+                    and vec is not None:
                 col = clean_ff_couplings(s, vec, col)
             failed = col <= 0
 
@@ -224,9 +230,14 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
         if col * 1.5 > al.n_rows:
             cs_type = CoarsenType.RS
 
-        cfmarks.append(vec.copy())
+        cfmarks.append(vec.copy() if vec is not None else None)
 
-        p = build_interpolation(al, s, vec, col, pars)
+        if agg is not None:
+            from .setup_phase.aggregation import sa_interpolation
+
+            p = sa_interpolation(al, agg, col)
+        else:
+            p = build_interpolation(al, s, vec, col, pars)
         r = p.transpose()
         ac = rap(r, al, p)
 
@@ -292,7 +303,7 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
         if l < nl - 1:
             hh.p[l] = hh.p[l].permute_rows(perm)
             hh.r[l] = hh.r[l].permute_cols(inv)
-        if l < len(hh.cfmark):
+        if l < len(hh.cfmark) and hh.cfmark[l] is not None:
             hh.cfmark[l] = np.asarray(hh.cfmark[l])[perm]
     return hh
 
@@ -357,6 +368,10 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
     n0 = hh.a[0].n_rows
     emb = [np.arange(n0, dtype=np.int64)]
     for cf in hh.cfmark:
+        if cf is None:
+            # aggregation levels: coarse unknowns are aggregates, not
+            # fine-grid points — no fine-grid embedding possible
+            return 0, emb, None
         cpos = np.flatnonzero(np.asarray(cf) == CGPT)
         emb.append(emb[len(emb) - 1][cpos])
 
@@ -497,9 +512,7 @@ def _embedded_level(
     nz = np.abs(diag_c) > SMALLFLOAT
     inv_diag[rl[nz]] = 1.0 / diag_c[nz]
 
-    l1_c = np.zeros(n)
-    rows = np.repeat(np.arange(n, dtype=np.int64), al.row_degrees)
-    np.add.at(l1_c, rows, np.abs(al.data))
+    l1_c = _row_abs_sums(al)
     l1_inv = np.zeros(pad0)
     nz1 = l1_c > SMALLFLOAT
     l1_inv[rl[nz1]] = 1.0 / l1_c[nz1]
@@ -531,6 +544,17 @@ def _embedded_level(
         compact_idx=compact_idx,
         member_idx=member_idx,
     )
+
+
+def _row_abs_sums(al: CSR) -> np.ndarray:
+    """sum_j |a_ij| per row — reduceat over the CSR entry stream (np.add.at
+    is unbuffered and ~50x slower at tens of millions of entries)."""
+    out = np.zeros(al.n_rows)
+    nonempty = al.row_degrees > 0
+    starts = al.indptr[:-1][nonempty]
+    if len(starts):
+        out[nonempty] = np.add.reduceat(np.abs(al.data), starts)
+    return out
 
 
 def _rho_dinv_a_host(al: CSR, niter: int = 12) -> float:
@@ -639,8 +663,7 @@ def _level_from_csr(
     inv_diag = np.where(np.abs(diag) > SMALLFLOAT, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
 
     l1 = np.zeros(pad)
-    rows = np.repeat(np.arange(n, dtype=np.int64), al.row_degrees)
-    np.add.at(l1, rows, np.abs(al.data))
+    l1[:n] = _row_abs_sums(al)
     l1_inv = np.where(l1 > SMALLFLOAT, 1.0 / np.where(l1 != 0, l1, 1.0), 0.0)
 
     diag_mask = None
@@ -769,10 +792,16 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     )
 
 
-def setup(a: CSR, pars: AMGParams, log=print) -> tuple[Hierarchy, HostHierarchy]:
+def setup(a: CSR, pars: AMGParams, log=print,
+          hh: Optional[HostHierarchy] = None) -> tuple[Hierarchy, HostHierarchy]:
     """Full setup: host hierarchy + device pack, with reference-format
-    complexity table and timing print."""
-    hh = setup_host(a, pars, log=log)
+    complexity table and timing print.
+
+    Pass a pre-built (e.g. checkpoint-restored) ``hh`` to skip the host
+    coarsening and go straight to the device pack.
+    """
+    if hh is None:
+        hh = setup_host(a, pars, log=log)
     plan = embedding_plan(hh, pars)
     if pars.reorder_gs:
         reorder_for_gs(hh, pars, skip_levels=plan[0])

@@ -152,14 +152,25 @@ def usable(a, x) -> bool:
 
 def spmv(a, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """y = A @ x via the tiled window kernel (caller checked :func:`usable`)."""
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    # out-of-range band positions read zeros
+    return spmv_window(a, jnp.pad(x, (lo, hi)), interpret=interpret)
+
+
+def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Same kernel, but the caller supplies the already-haloed input
+    ``xw = [lo left-halo entries | x (padded_rows) | hi right-halo]`` —
+    the multi-chip entry point: a shard passes its neighbors' boundary
+    slices (from ``ppermute``) as the halos instead of zeros."""
     pad = a.padded_rows
     lo = max(-min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
     wrows = _window_rows(lo, hi)
     # last tile reads rows [(ntiles-1)*T128, ... + wrows)
     xp_len = (pad // TILE - 1) * TILE + wrows * 128
-    xp = jnp.pad(x, (lo, xp_len - lo - pad)).reshape(-1, 128)
+    xp = jnp.pad(xw, (0, xp_len - xw.shape[0])).reshape(-1, 128)
     vals3 = a.vals.reshape(len(a.offsets), pad // 128, 128)
-    fn = _build(tuple(a.offsets), pad, lo, hi, str(x.dtype),
+    fn = _build(tuple(a.offsets), pad, lo, hi, str(xw.dtype),
                 str(a.vals.dtype), interpret=interpret)
     return fn(xp, vals3).reshape(pad)

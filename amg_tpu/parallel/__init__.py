@@ -4,5 +4,7 @@ from .dist import (
     shard_vector,
     DistAMGSolver,
 )
+from .halo import spmv_dia_ring
 
-__all__ = ["make_mesh", "shard_hierarchy", "shard_vector", "DistAMGSolver"]
+__all__ = ["make_mesh", "shard_hierarchy", "shard_vector", "DistAMGSolver",
+           "spmv_dia_ring"]

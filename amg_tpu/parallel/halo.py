@@ -1,0 +1,133 @@
+"""Explicit ring halo-exchange SpMV for row-sharded DIA operators.
+
+The GSPMD path (parallel/dist.py) lets XLA infer the boundary exchange
+from the DIA shifted slices.  This module is the hand-placed alternative
+— the scaling-book "pick the collective yourself" pattern:
+
+* each shard owns a contiguous block of ``m`` rows and the matching
+  slice of every vector;
+* a band of half-width ``lo``/``hi`` needs exactly the last ``lo``
+  entries of the left neighbor and the first ``hi`` entries of the right
+  neighbor — two neighbor ``ppermute`` s over ICI, nothing global;
+* the local product then runs on the assembled window with the
+  single-chip kernels (the Pallas wide-DIA kernel on TPU, XLA shifted
+  slices elsewhere) — shard_map composes per-device Pallas with explicit
+  collectives, which GSPMD cannot do with an un-annotated pallas_call.
+
+Functions here are written to be called INSIDE ``shard_map``; see
+:func:`spmv_dia_ring` for the wrapped convenience entry point.
+
+No reference equivalent: the reference is single-address-space
+(``SSS_blas_mv_mxy`` gathers globally, amg/SSS_utils.c:182-201); the halo
+design realizes SURVEY.md section 5's "long-context analog" row-partition
+plan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse import Dia
+
+
+def dia_halo_widths(offsets) -> tuple[int, int]:
+    lo = max(-min(offsets), 0)
+    hi = max(max(offsets), 0)
+    return lo, hi
+
+
+def dia_spmv_local(offsets, vals_local: jnp.ndarray, xw: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Local product on an already-haloed window.
+
+    ``vals_local``: (nd, m) value planes of this shard's rows;
+    ``xw``: (lo + m + hi,) window = [left halo | local x | right halo].
+    Uses the Pallas kernel when the local block qualifies, XLA shifted
+    slices otherwise (CPU tests, narrow bands, odd tiles).
+    """
+    from ..ops import pallas_dia
+
+    nd, m = vals_local.shape
+    lo, hi = dia_halo_widths(offsets)
+    d_loc = Dia(vals_local, tuple(offsets), (m, m), nd * m)
+    use_pallas = (
+        pallas_dia._platform() == "tpu"
+        and not interpret
+        and nd >= pallas_dia.MIN_DIAGS
+        and m % pallas_dia.TILE == 0
+        and xw.dtype in (jnp.float32, jnp.bfloat16)
+        and vals_local.dtype in (jnp.float32, jnp.bfloat16)
+    )
+    if use_pallas:
+        return pallas_dia.spmv_window(d_loc, xw)
+    acc = jnp.zeros((m,), xw.dtype)
+    for k, off in enumerate(offsets):
+        s = lo + off
+        acc = acc + vals_local[k] * jax.lax.slice(xw, (s,), (s + m,))
+    return acc
+
+
+def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
+                        vals_local: jnp.ndarray, x_local: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """One shard's y = (A x)_local with neighbor halo exchange.
+
+    Call INSIDE shard_map.  The edge shards receive zeros from the
+    ``ppermute`` (no wrap-around: out-of-range band positions are zero),
+    which is exactly the global operator's boundary behavior.
+    """
+    lo, hi = dia_halo_widths(offsets)
+    m = x_local.shape[0]
+    if max(lo, hi) > m:
+        raise ValueError(
+            f"band half-width ({lo},{hi}) exceeds the shard block ({m}); "
+            "use fewer shards or the GSPMD path"
+        )
+    parts = []
+    if lo:
+        left = jax.lax.ppermute(
+            x_local[m - lo:], axis_name,
+            [(i, i + 1) for i in range(n_shards - 1)],
+        )
+        parts.append(left)
+    parts.append(x_local)
+    if hi:
+        right = jax.lax.ppermute(
+            x_local[:hi], axis_name,
+            [(i + 1, i) for i in range(n_shards - 1)],
+        )
+        parts.append(right)
+    xw = jnp.concatenate(parts) if len(parts) > 1 else x_local
+    return dia_spmv_local(offsets, vals_local, xw, interpret=interpret)
+
+
+def spmv_dia_ring(d: Dia, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
+                  interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x with the operator row-sharded over ``mesh[axis]``.
+
+    Convenience wrapper: shards the value planes and the vector, runs the
+    ring-halo product under ``shard_map``, returns a row-sharded y of
+    length ``padded_rows``.  ``padded_rows`` must divide evenly by the
+    mesh size (re-pad with :func:`dist._pad_dia_multiple` first).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                            if a == axis]))
+    pad = d.padded_rows
+    if pad % n_shards != 0:
+        raise ValueError(f"padded_rows {pad} not divisible by {n_shards}")
+
+    fn = shard_map(
+        partial(dia_spmv_ring_local, tuple(d.offsets), n_shards, axis,
+                interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return fn(d.vals, x)

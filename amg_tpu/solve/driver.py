@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..params import AMGParams, SolveInfo, StopType
+from ..params import AMGParams, SolveInfo, StopType, MAX_RESTART
 from ..sparse import CSR
 from ..hierarchy import setup, Hierarchy
 from ..ops.spmv import spmv
@@ -54,7 +54,8 @@ def print_itinfo(stop_type, it, relres, absres, factor, log=print):
 class AMGSolver:
     """Setup once, solve many times."""
 
-    def __init__(self, a: CSR, pars: AMGParams = AMGParams(), log=print):
+    def __init__(self, a: CSR, pars: AMGParams = AMGParams(), log=print,
+                 host_hierarchy=None):
         if a.n_rows != a.n_cols:
             raise ValueError("AMG requires a square matrix")
         if a.nnz <= 0:
@@ -62,7 +63,8 @@ class AMGSolver:
         self.a = a
         self.pars = pars
         self.log = log
-        self.mg, self.host_hierarchy = setup(a, pars, log=log)
+        self.mg, self.host_hierarchy = setup(a, pars, log=log,
+                                             hh=host_hierarchy)
         self.pad = self.mg.levels[0].pad
         self.dtype = jnp.dtype(pars.dtype)
 
@@ -141,7 +143,7 @@ class AMGSolver:
             )
 
         # -- Krylov acceleration (AMG-preconditioned flexible CG) -------
-        if pars.accel == "cg":
+        if pars.accel in ("cg", "gmres"):
             from .krylov import fcg_init, fcg_step
 
             hi = self.a0_hi is not None
@@ -171,6 +173,19 @@ class AMGSolver:
             self._accel_init_fn = jax.jit(_accel_init)
             self._accel_step_fn = jax.jit(_accel_step)
 
+            if pars.accel == "gmres":
+                from .krylov import gmres as _gmres
+
+                def _accel_gmres(mg, a_hi, x, b):
+                    return _gmres(
+                        lambda v: _amul(mg, a_hi, v), b, x,
+                        tol=pars.tol, maxit=pars.max_it,
+                        restart=min(MAX_RESTART, pars.max_it),
+                        M=lambda r: _prec(mg, r), return_iters=True,
+                    )
+
+                self._accel_gmres_fn = jax.jit(_accel_gmres)
+
     # ------------------------------------------------------------------
 
     def _pad_vec(self, v) -> jnp.ndarray:
@@ -182,6 +197,8 @@ class AMGSolver:
         """Host-loop solve with live residual table (reference parity)."""
         if self.pars.accel == "cg":
             return self.solve_pcg(b, x0)
+        if self.pars.accel == "gmres":
+            return self.solve_pgmres(b, x0)
         if self.a0_hi is not None:
             return self.solve_refined(b, x0)
         pars = self.pars
@@ -348,6 +365,40 @@ class AMGSolver:
         if pars.verbose:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
         return np.asarray(xd[:n]), info
+
+    def solve_pgmres(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
+        """AMG-right-preconditioned restarted GMRES (``pars.accel ==
+        "gmres"``) — the Krylov wrap for nonsymmetric operators where CG's
+        short recurrence does not apply.  Runs as one jitted program
+        (``lax.while_loop`` over restarts)."""
+        pars = self.pars
+        n = self.a.n_rows
+        adt = self._accel_dtype
+
+        bd = jnp.asarray(np.pad(np.asarray(b, dtype=adt)[:n],
+                                (0, self.pad - n)))
+        xd = jnp.asarray(np.pad(
+            np.asarray(x0 if x0 is not None else np.zeros(n),
+                       dtype=adt)[:n], (0, self.pad - n)))
+
+        info = SolveInfo()
+        sumb = float(norm2(bd))
+        t0 = time.perf_counter()
+        if sumb == 0.0:
+            return np.zeros(n), info
+        x, conv, nits = self._accel_gmres_fn(self.mg, self.a0_hi, xd, bd)
+        r = bd - spmv((self.a0_hi if self.a0_hi is not None
+                       else self.mg.levels[0].a), x)[: bd.shape[0]]
+        absres = float(norm2(r))
+        info.ares = absres
+        info.rres = absres / sumb
+        info.nits = int(nits)
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        if pars.verbose:
+            self.log(f"AMG-GMRES: {info.nits} its, relres {info.rres:g}")
+            self.log(f"AMG solve time: {info.solve_seconds:g} s")
+        return np.asarray(x[:n]), info
 
     def solve_jit(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Fully-jitted solve (no per-iteration host sync)."""

@@ -145,8 +145,12 @@ def fcg(a, b, x0, tol=1e-7, maxit=100, M=None, axis_name=None):
     return st[0], it, absres
 
 
-def gmres(a, b, x0, tol=1e-7, maxit=1000, restart=30, M=None, axis_name=None):
-    """Restarted GMRES(m) with MGS + Givens. Returns ``(x, converged)``."""
+def gmres(a, b, x0, tol=1e-7, maxit=1000, restart=30, M=None, axis_name=None,
+          return_iters=False):
+    """Restarted GMRES(m) with MGS + Givens. Returns ``(x, converged)``
+    (or ``(x, converged, iters)`` with ``return_iters``).  ``M`` is applied
+    as a RIGHT preconditioner (e.g. one AMG cycle), so the residual being
+    driven down is the true residual."""
     amul = _as_op(a)
     prec = M if M is not None else (lambda v: v)
     m = restart
@@ -247,4 +251,6 @@ def gmres(a, b, x0, tol=1e-7, maxit=1000, restart=30, M=None, axis_name=None):
 
     init = (x0, jnp.zeros((), jnp.int32), beta0, beta0 / normr0 < tol)
     x, it, res, conv = jax.lax.while_loop(outer_cond, outer_body, init)
+    if return_iters:
+        return x, conv, it
     return x, conv

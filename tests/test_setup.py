@@ -216,3 +216,41 @@ def test_hierarchy_coarsens_bus(bus1138):
     grid, op = hh.complexity()
     assert 1.0 < grid < 3.0
     assert 1.0 < op < 5.0
+
+
+def test_sa_aggregation_partitions():
+    """Every non-isolated node lands in exactly one aggregate."""
+    import amg_tpu as amg
+    from amg_tpu.setup_phase.aggregation import aggregate
+    from amg_tpu.setup_phase.strength import strength_matrix
+
+    a = amg.poisson2d(20)
+    s = strength_matrix(a, 0.25, 0.9)
+    agg, n_agg = aggregate(s)
+    assert n_agg > 0
+    assert agg.min() >= 0  # no isolated nodes in a Poisson stencil
+    assert agg.max() == n_agg - 1
+    # aggregation should coarsen notably faster than 2:1
+    assert n_agg <= a.n_rows // 3
+
+
+def test_sa_interpolation_rowsums():
+    """Smoothed P preserves the constant: P @ 1 ~ 1 away from boundary
+    effects (the tentative P0 partitions unity; smoothing keeps row sums
+    1 - omega*dinv*(A@1) which equals 1 on interior rows of a singular-free
+    stencil only approximately — check P reproduces ones through P0)."""
+    import amg_tpu as amg
+    from amg_tpu.setup_phase.aggregation import (
+        aggregate, tentative_p, sa_interpolation)
+    from amg_tpu.setup_phase.strength import strength_matrix
+
+    a = amg.poisson2d(16)
+    s = strength_matrix(a, 0.25, 0.9)
+    agg, n_agg = aggregate(s)
+    p0 = tentative_p(agg, n_agg)
+    ones_c = np.ones(n_agg)
+    np.testing.assert_allclose(p0.matvec(ones_c), 1.0)
+    p = sa_interpolation(a, agg, n_agg)
+    assert p.shape == (a.n_rows, n_agg)
+    # smoothed rows stay bounded and nonzero
+    assert np.isfinite(p.data).all() and p.nnz >= p0.nnz

@@ -569,3 +569,75 @@ def test_compact_boundary_matches_embedded():
     assert abs(i1.nits - i2.nits) <= 1
     r = b - a.matvec(x2)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+def test_sa_coarsening_converges():
+    """Smoothed-aggregation hierarchy solves Poisson; coarsening is much
+    more aggressive than RS (fewer total coarse rows)."""
+    from amg_tpu.params import CoarsenType
+
+    a = amg.poisson3d(12)
+    b = np.random.default_rng(13).standard_normal(a.n_rows)
+    sa = amg.AMGSolver(a, AMGParams(verbose=0, cs_type=CoarsenType.SA,
+                                    max_it=60), log=lambda *a: None)
+    x, info = sa.solve(b)
+    assert info.rres < 1e-6
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+    rs = amg.AMGSolver(a, AMGParams(verbose=0), log=lambda *a: None)
+    coarse_sa = sum(m.n_rows for m in sa.host_hierarchy.a[1:])
+    coarse_rs = sum(m.n_rows for m in rs.host_hierarchy.a[1:])
+    assert coarse_sa < coarse_rs
+
+
+def test_sa_checkpoint_roundtrip():
+    """SA hierarchies (cfmark=None levels) survive save/load."""
+    import tempfile, os
+    from amg_tpu.params import CoarsenType
+    from amg_tpu.io.checkpoint import save_hierarchy, load_hierarchy
+
+    a = amg.poisson2d(16)
+    s = amg.AMGSolver(a, AMGParams(verbose=0, cs_type=CoarsenType.SA),
+                      log=lambda *a: None)
+    hh = s.host_hierarchy
+    assert any(cf is None for cf in hh.cfmark)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "h.npz")
+        save_hierarchy(path, hh)
+        hh2 = load_hierarchy(path)
+    assert hh2.num_levels == hh.num_levels
+    assert all((c1 is None) == (c2 is None)
+               for c1, c2 in zip(hh.cfmark, hh2.cfmark))
+
+
+def test_pgmres_accel_nonsymmetric():
+    """AMG-right-preconditioned GMRES solves an upwind convection-diffusion
+    system (nonsymmetric) where plain CG theory does not apply."""
+    n_side = 24
+    h = 1.0 / (n_side + 1)
+    vel = 20.0  # convection strength
+    # 2D convection-diffusion, upwind first-order convection in x
+    idx = lambda i, j: i * n_side + j
+    rows, cols, vals = [], [], []
+    for i in range(n_side):
+        for j in range(n_side):
+            k = idx(i, j)
+            diag = 4.0 / h**2 + vel / h
+            rows.append(k); cols.append(k); vals.append(diag)
+            for di, dj, c in ((-1, 0, -1.0 / h**2 - vel / h),
+                              (1, 0, -1.0 / h**2),
+                              (0, -1, -1.0 / h**2),
+                              (0, 1, -1.0 / h**2)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < n_side and 0 <= jj < n_side:
+                    rows.append(k); cols.append(idx(ii, jj)); vals.append(c)
+    a = CSR.from_coo(rows, cols, vals, (n_side**2, n_side**2))
+    d = a.to_dense()
+    assert not np.allclose(d, d.T)  # genuinely nonsymmetric
+    b = np.random.default_rng(17).standard_normal(a.n_rows)
+    s = amg.AMGSolver(a, AMGParams(verbose=0, accel="gmres", tol=1e-8),
+                      log=lambda *a: None)
+    x, info = s.solve(b)
+    r = b - a.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+    assert info.nits <= 40
