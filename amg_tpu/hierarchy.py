@@ -240,6 +240,14 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
             p = build_interpolation(al, s, vec, col, pars)
         r = p.transpose()
         ac = rap(r, al, p)
+        if (pars.coarse_sparsify > 0
+                and lvl + 1 >= pars.sparsify_from_level
+                and _pick_format(ac, pars) == "ell"):
+            # scope to gather-bound (ELL) levels: dense-MXU deep levels
+            # cost nothing per extra nnz, so sparsifying them only loses
+            # convergence (observed 14 -> 42 FCG its at 10M rows when the
+            # whole tail was sparsified)
+            ac = sparsify_operator(ac, pars.coarse_sparsify)
 
         # Check 4: is the coarse matrix too dense? (:142-152)
         # (replicates the reference's integer division on the fine matrix)
@@ -472,8 +480,11 @@ def _embedded_level(
         if a_dev is None:
             raise ValueError("embedded hierarchy requires a banded A_0")
     else:
-        a_dev = Dia.from_csr(_embed_csr(al, rl, rl, n0), dtype=op_dtype,
-                             pad_rows_to=pad0)
+        a_emb = _embed_csr(al, rl, rl, n0)
+        a_dev = Dia.from_csr(
+            a_emb, dtype=op_dtype, pad_rows_to=pad0,
+            blocked=_dia_blocked(Dia.num_offsets(a_emb), pad0, op_dtype),
+        )
 
     p_dev = r_dev = None
     compact_idx = None
@@ -493,10 +504,16 @@ def _embedded_level(
         cl = emb[l + 1]
         pr_dtype = dtype if pars.coarse_op_dtype == "same" \
             else jnp.dtype(pars.coarse_op_dtype)
-        p_dev = Dia.from_csr(_embed_csr(hh.p[l], rl, cl, n0),
-                             dtype=pr_dtype, pad_rows_to=pad0)
-        r_dev = Dia.from_csr(_embed_csr(hh.r[l], cl, rl, n0),
-                             dtype=pr_dtype, pad_rows_to=pad0)
+        p_emb = _embed_csr(hh.p[l], rl, cl, n0)
+        r_emb = _embed_csr(hh.r[l], cl, rl, n0)
+        p_dev = Dia.from_csr(
+            p_emb, dtype=pr_dtype, pad_rows_to=pad0,
+            blocked=_dia_blocked(Dia.num_offsets(p_emb), pad0, pr_dtype),
+        )
+        r_dev = Dia.from_csr(
+            r_emb, dtype=pr_dtype, pad_rows_to=pad0,
+            blocked=_dia_blocked(Dia.num_offsets(r_emb), pad0, pr_dtype),
+        )
         if l == E:
             # boundary to the compact world: next level's rows live at
             # emb positions; padding points out of range (dropped)
@@ -543,6 +560,54 @@ def _embedded_level(
         ranges=None,
         compact_idx=compact_idx,
         member_idx=member_idx,
+    )
+
+
+def sparsify_operator(a: CSR, threshold: float) -> CSR:
+    """Non-Galerkin coarse-operator sparsification.
+
+    Drop entries with ``|a_ij| < threshold * sqrt(|a_ii a_jj|)`` and lump
+    the dropped mass into the diagonal (row sums preserved) — the
+    standard remedy for Galerkin stencil growth (RS-AMG coarse operators
+    reach hundreds of nnz/row at depth; on TPU each nnz of a compact
+    level is a gather).  No reference equivalent: the reference keeps
+    exact Galerkin operators (amg/SSS_matvec.c:398) but only ever runs
+    small problems.
+    """
+    n = a.n_rows
+    d = a.diagonal_fast()
+    rows = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
+    cols = a.indices.astype(np.int64)
+    scale = np.sqrt(np.abs(d[rows]) * np.abs(d[cols]))
+    keep = (rows == cols) | (np.abs(a.data) >= threshold * scale)
+    lump = np.bincount(rows[~keep], weights=a.data[~keep], minlength=n)
+
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.bincount(rows[keep], minlength=n)
+    np.cumsum(indptr, out=indptr)
+    data = a.data[keep].copy()
+    new_cols = cols[keep].astype(np.int32)
+    # add the lumped mass onto each row's diagonal slot
+    kept_rows = rows[keep]
+    is_diag = new_cols == kept_rows
+    data[is_diag] += lump[kept_rows[is_diag]]
+    return CSR(indptr, new_cols, data, a.shape)
+
+
+def _dia_blocked(nd: int, pad: int, dtype) -> bool:
+    """Store a Dia operator in the Pallas kernel's (nd, pad//128, 128)
+    layout when that kernel will be the consumer: wide band, TPU, single
+    device, tile-divisible pad.  Packing in the final layout avoids the
+    apply-time relayout that materializes full copies of multi-GB
+    operands (OOM at 10M rows)."""
+    from .ops import pallas_dia
+
+    return (
+        pallas_dia._platform() == "tpu"
+        and jax.device_count() == 1
+        and nd >= pallas_dia.MIN_DIAGS
+        and pad % pallas_dia.TILE == 0
+        and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
     )
 
 
@@ -638,7 +703,10 @@ def _level_from_csr(
         else jnp.dtype(pars.coarse_op_dtype)
     ell_cols_np = ell_vals_np = None
     if fmt == "dia":
-        a_dev = Dia.from_csr(al, dtype=op_dtype, pad_rows_to=pad)
+        a_dev = Dia.from_csr(
+            al, dtype=op_dtype, pad_rows_to=pad,
+            blocked=_dia_blocked(Dia.num_offsets(al), pad, op_dtype),
+        )
     elif fmt == "dense":
         a_dev = Dense.from_csr(al, dtype=op_dtype, pad_rows_to=pad,
                                pad_cols_to=pad)

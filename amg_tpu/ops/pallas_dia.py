@@ -170,7 +170,12 @@ def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     # last tile reads rows [(ntiles-1)*T128, ... + wrows)
     xp_len = (pad // TILE - 1) * TILE + wrows * 128
     xp = jnp.pad(xw, (0, xp_len - xw.shape[0])).reshape(-1, 128)
-    vals3 = a.vals.reshape(len(a.offsets), pad // 128, 128)
+    # blocked operators are already in the kernel's (nd, pad//128, 128)
+    # layout — an apply-time reshape of a multi-GB operand materializes
+    # fully-tiled copies (observed OOM at 10M rows), so hierarchy packing
+    # chooses the blocked layout up front for wide bands
+    vals3 = a.vals if a.vals.ndim == 3 \
+        else a.vals.reshape(len(a.offsets), pad // 128, 128)
     fn = _build(tuple(a.offsets), pad, lo, hi, str(xw.dtype),
                 str(a.vals.dtype), interpret=interpret)
     return fn(xp, vals3).reshape(pad)

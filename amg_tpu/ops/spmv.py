@@ -52,6 +52,16 @@ def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
         # (the shifted-slice formulation re-reads x once per diagonal)
         return pallas_dia.spmv(a, x)
 
+    if a.vals.ndim == 3:
+        # blocked (Pallas-native) storage on a non-Pallas path (CPU tests,
+        # emulated meshes): fall back through the 2-D view.  The reshape
+        # is a free view on CPU; on TPU this path is not the hot one.
+        from ..sparse import Dia as _Dia
+
+        return spmv_dia(
+            _Dia(a.vals2d, a.offsets, a.shape, a.nnz), x
+        )
+
     pad = a.padded_rows
     nd = len(a.offsets)
     lo = max(-min(a.offsets), 0) if a.offsets else 0

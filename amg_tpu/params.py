@@ -202,6 +202,15 @@ class AMGParams:
     # FCG outer iteration runs in f64 against the f64 operator while the
     # preconditioner cycle runs in `dtype`.
     accel: str = "none"
+    # Non-Galerkin coarse-operator sparsification (Falgout/Schroder-style):
+    # on levels >= sparsify_from_level drop entries with
+    # |a_ij| < threshold * sqrt(|a_ii a_jj|) and lump the dropped mass
+    # into the diagonal (row sums preserved).  RS-AMG Galerkin stencils
+    # grow to hundreds of nnz/row at depth; on TPU every one of those is
+    # a gather, so sparsification directly buys per-cycle time.  0 = off
+    # (exact Galerkin parity with the reference).
+    coarse_sparsify: float = 0.0
+    sparsify_from_level: int = 3
     # Multi-device settings
     coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
 

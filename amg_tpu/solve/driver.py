@@ -238,10 +238,18 @@ class AMGSolver:
                     if pars.verbose:
                         print_itinfo(pars.stop_type, it_i, relres, absres,
                                      factor, log=self.log)
+                    if not np.isfinite(absres):
+                        # divergence guard: stop and keep the last finite
+                        # iterate instead of iterating NaNs to max_it
+                        if pars.verbose:
+                            self.log("### WARNING: residual diverged "
+                                     f"(iteration {it_i}); stopping.")
+                        stop = True
+                        break
                     info.ares, info.rres, info.nits = absres, relres, it_i
                     info.residuals.append(absres)
+                    xd = x_i
                     if relres < pars.tol:
-                        xd = x_i  # the iterate that met the tolerance
                         stop = True
                         break
                 pending = []
@@ -290,6 +298,11 @@ class AMGSolver:
             if pars.verbose:
                 print_itinfo(pars.stop_type, outer * k, relres, absres,
                              factor, log=self.log)
+            if not np.isfinite(absres):
+                if pars.verbose:
+                    self.log("### WARNING: residual diverged "
+                             f"(cycle {outer * k}); stopping.")
+                break
             info.ares, info.rres, info.nits = absres, relres, outer * k
             info.residuals.append(absres)
             if relres < pars.tol:
@@ -351,6 +364,12 @@ class AMGSolver:
                     if pars.verbose:
                         print_itinfo(pars.stop_type, it_i, relres, absres,
                                      factor, log=self.log)
+                    if not np.isfinite(absres):
+                        if pars.verbose:
+                            self.log("### WARNING: residual diverged "
+                                     f"(iteration {it_i}); stopping.")
+                        stop = True
+                        break
                     info.ares, info.rres, info.nits = absres, relres, it_i
                     info.residuals.append(absres)
                     xd = x_i

@@ -50,8 +50,9 @@ def _device_scatter_2d(shape, rows, cols, data, dtype) -> jnp.ndarray:
     1-D index vector pads 1x.  Linear indices are i64 (nd * pad_rows can
     exceed 2^31).
     """
-    n_flat = int(shape[0]) * int(shape[1])
-    lin = (np.ascontiguousarray(rows, dtype=np.int64) * np.int64(shape[1])
+    inner = int(np.prod(shape[1:]))
+    n_flat = int(shape[0]) * inner
+    lin = (np.ascontiguousarray(rows, dtype=np.int64) * np.int64(inner)
            + np.ascontiguousarray(cols, dtype=np.int64))
     idx = jnp.asarray(lin)
     v = jnp.asarray(np.asarray(data, dtype=np.dtype(dtype)))
@@ -499,7 +500,24 @@ class Dia:
 
     @property
     def padded_rows(self) -> int:
+        if self.vals.ndim == 3:
+            return self.vals.shape[1] * self.vals.shape[2]
         return self.vals.shape[1]
+
+    @property
+    def blocked(self) -> bool:
+        """True when values are stored in the Pallas kernel's native
+        (nd, pad//128, 128) layout — chosen at pack time for wide bands so
+        the apply needs NO relayout (an apply-time reshape of a multi-GB
+        operand materializes full tiled copies and OOMs at 10M rows)."""
+        return self.vals.ndim == 3
+
+    @property
+    def vals2d(self) -> jnp.ndarray:
+        """(nd, pad) view — host/debug use; a relayout copy on TPU."""
+        if self.vals.ndim == 3:
+            return self.vals.reshape(self.vals.shape[0], -1)
+        return self.vals
 
     @property
     def n_diags(self) -> int:
@@ -525,6 +543,7 @@ class Dia:
         dtype=jnp.float64,
         row_multiple: int = 8,
         pad_rows_to: int | None = None,
+        blocked: bool = False,
     ) -> "Dia":
         n_rows, n_cols = a.shape
         pr = _round_up(max(n_rows, 1), row_multiple)
@@ -544,17 +563,19 @@ class Dia:
             uniq = np.zeros(0, dtype=np.int64)
             dpos = np.zeros(0, dtype=np.int64)
         nd_bytes = len(uniq) * pr * np.dtype(dtype).itemsize
+        shape = ((len(uniq), pr // 128, 128) if (blocked and pr % 128 == 0)
+                 else (len(uniq), pr))
         if nd_bytes > _DEVICE_BUILD_BYTES:
             # sparse embedded stencils can be >100x larger than their nnz:
-            # upload triplets, scatter on device
-            vals = _device_scatter_2d((len(uniq), pr), dpos, rows, a.data,
-                                      dtype)
+            # upload triplets, scatter on device (flat, then reshape into
+            # the target layout while the array is still fresh)
+            vals = _device_scatter_2d(shape, dpos, rows, a.data, dtype)
         else:
             # build directly in the target dtype; (offset, row) pairs are
             # unique in a duplicate-free CSR, so plain assignment suffices
             vals_np = np.zeros((len(uniq), pr), dtype=np.dtype(dtype))
             vals_np[dpos, rows] = a.data
-            vals = jnp.asarray(vals_np)
+            vals = jnp.asarray(vals_np.reshape(shape))
         return Dia(
             vals,
             tuple(int(o) for o in uniq),
@@ -564,6 +585,8 @@ class Dia:
 
     def to_csr(self) -> CSR:
         vals = np.asarray(self.vals, dtype=np.float64)
+        if vals.ndim == 3:
+            vals = vals.reshape(vals.shape[0], -1)
         rows_l, cols_l, data_l = [], [], []
         for k, off in enumerate(self.offsets):
             i = np.arange(self.n_rows, dtype=np.int64)

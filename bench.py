@@ -78,10 +78,21 @@ def main():
     # level); level 0 keeps the configured smoother.
     coarse_sm = os.environ.get("AMG_BENCH_COARSE_SMOOTHER", "CHEBYSHEV")
     coarse_od = os.environ.get("AMG_BENCH_COARSE_OP_DTYPE", "bfloat16")
-    accel = os.environ.get("AMG_BENCH_ACCEL", "cg")
+    # Default acceleration by scale.  Small/medium grids: stand-alone
+    # cycling + defect correction (FCG's extra f64 matvec + dots + per-
+    # iteration dispatch cost more through the remote-execution relay
+    # than the ~30% cycle savings; measured 0.26s vs 0.51s at 1M rows).
+    # Large grids: FCG — operator sparsification kicks in there, and the
+    # sparsified V-cycle is a good preconditioner but NOT a contraction
+    # (stand-alone cycling diverged at 10M rows); the Krylov wrap is what
+    # makes it robust.
+    accel = os.environ.get("AMG_BENCH_ACCEL",
+                           "cg" if n_side >= 128 else "none")
     embed_bytes = float(os.environ.get("AMG_BENCH_EMBED_BYTES", "6e9"))
+    sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.01"))
     pars = amg.AMGParams(
         embed_max_bytes=embed_bytes,
+        coarse_sparsify=sparsify,
         tol=tol,
         dtype=dtype,
         smoother=SmootherType[smoother_name],
@@ -102,7 +113,9 @@ def main():
         from amg_tpu.io.checkpoint import load_hierarchy, save_hierarchy
 
         key = (f"n{n_side}_st{pars.strong_threshold}_tt{pars.trunc_threshold}"
-               f"_cs{int(pars.cs_type)}_it{int(pars.interp_type)}")
+               f"_cs{int(pars.cs_type)}_it{int(pars.interp_type)}"
+               + (f"_sp{pars.coarse_sparsify}" if pars.coarse_sparsify
+                  else ""))
         cache_path = f"/tmp/amg_bench_hier_{key}.npz"
         if os.path.exists(cache_path):
             t0 = time.perf_counter()

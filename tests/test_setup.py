@@ -254,3 +254,29 @@ def test_sa_interpolation_rowsums():
     assert p.shape == (a.n_rows, n_agg)
     # smoothed rows stay bounded and nonzero
     assert np.isfinite(p.data).all() and p.nnz >= p0.nnz
+
+
+def test_sparsify_operator_rowsums_and_convergence():
+    """Non-Galerkin sparsification preserves row sums exactly and keeps
+    the hierarchy convergent."""
+    import amg_tpu as amg
+    from amg_tpu.hierarchy import sparsify_operator
+    from amg_tpu.params import AMGParams, SmootherType
+
+    a = amg.poisson3d(10)
+    s = sparsify_operator(a, 0.3)
+    np.testing.assert_allclose(
+        s.to_dense().sum(axis=1), a.to_dense().sum(axis=1), atol=1e-12)
+    assert s.nnz < a.nnz
+    # diagonal untouched entries keep positions; matrix stays square CSR
+    assert s.shape == a.shape
+
+    big = amg.poisson3d(16)
+    b = np.random.default_rng(4).standard_normal(big.n_rows)
+    pars = AMGParams(verbose=0, tol=1e-8, accel="cg",
+                     coarse_sparsify=0.01, sparsify_from_level=2,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    solver = amg.AMGSolver(big, pars, log=lambda *x: None)
+    x, info = solver.solve(b)
+    r = np.linalg.norm(b - big.matvec(x)) / np.linalg.norm(b)
+    assert r < 1e-8

@@ -137,3 +137,45 @@ def test_pallas_dia_kernel_interpret():
     y = np.asarray(pallas_dia.spmv(d, jnp.asarray(x), interpret=True))
     want = a.matvec(x.astype(np.float64))
     np.testing.assert_allclose(y, want, rtol=2e-5, atol=1e-5)
+
+
+def test_dia_blocked_layout_roundtrip():
+    """Blocked (nd, pad//128, 128) Dia storage: same SpMV results and
+    host round-trip as the 2-D layout."""
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.sparse import Dia
+    from amg_tpu.ops.spmv import spmv
+
+    a = amg.poisson3d(8)
+    pad = 1024  # multiple of 128
+    d2 = Dia.from_csr(a, dtype=jnp.float64, pad_rows_to=pad)
+    d3 = Dia.from_csr(a, dtype=jnp.float64, pad_rows_to=pad, blocked=True)
+    assert d3.blocked and d3.vals.ndim == 3
+    assert d3.padded_rows == d2.padded_rows
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(pad))
+    np.testing.assert_allclose(np.asarray(spmv(d3, x)),
+                               np.asarray(spmv(d2, x)), rtol=1e-13)
+    c2, c3 = d2.to_csr().to_dense(), d3.to_csr().to_dense()
+    np.testing.assert_allclose(c3, c2)
+
+
+def test_pallas_kernel_blocked_vals():
+    """The Pallas kernel consumes blocked vals without reshaping."""
+    import jax.numpy as jnp
+    from amg_tpu.sparse import Dia
+    from amg_tpu.ops import pallas_dia
+    from amg_tpu.ops.spmv import spmv_dia
+
+    n = pallas_dia.TILE
+    offs = tuple(range(-40, 41, 2))
+    rng_ = np.random.default_rng(1)
+    vals2 = rng_.standard_normal((len(offs), n)).astype(np.float32)
+    d2 = Dia(jnp.asarray(vals2), offs, (n, n), len(offs) * n)
+    d3 = Dia(jnp.asarray(vals2.reshape(len(offs), n // 128, 128)),
+             offs, (n, n), len(offs) * n)
+    x = jnp.asarray(rng_.standard_normal(n).astype(np.float32))
+    y3 = np.asarray(pallas_dia.spmv(d3, x, interpret=True))
+    y2 = np.asarray(spmv_dia(d2, x))
+    # f32 with a different accumulation order (grouped by lane remainder)
+    np.testing.assert_allclose(y3, y2, rtol=2e-4, atol=1e-5)
