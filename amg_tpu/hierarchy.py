@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .params import AMGParams, CoarsenType, InterpType, MIN_CDOF
-from .sparse import CSR, Ell, Dia, Dense, _round_up
+from .sparse import CSR, Ell, Dia, Dense, BandedBlocks, _round_up
 from .setup_phase.strength import strength_matrix
 from .setup_phase.cf_split import rs_split, pmis_split, clean_ff_couplings
 from .setup_phase.interp import build_interpolation
@@ -133,6 +133,9 @@ class HostHierarchy:
     # (None where untouched); consumed by fine-grid embedding at the
     # embedded->compact boundary
     perms: Optional[list] = None
+    # per level: block half-bandwidth when the level was RCM-ordered for
+    # the BandedBlocks MXU format (None -> not banded)
+    banded_nb: Optional[list] = None
 
     @property
     def num_levels(self) -> int:
@@ -282,24 +285,55 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
     from .params import CGPT
     from .setup_phase.coloring import color_graph
 
+    banded_on = pars.use_banded == "on" or (
+        pars.use_banded == "auto" and jax.device_count() == 1
+    )
+    op_itemsize = np.dtype(
+        pars.dtype if pars.coarse_op_dtype == "same" else pars.coarse_op_dtype
+    ).itemsize
+
     nl = hh.num_levels
     hh.gs_key = [None] * nl
     hh.perms = [None] * nl
+    hh.banded_nb = [None] * nl
     for l in range(max(1, skip_levels + 1), nl):
         al = hh.a[l]
         if _pick_format(al, pars) == "dia":
             continue
         n = al.n_rows
-        colors = color_graph(al)
-        cf = hh.cfmark[l] if l < len(hh.cfmark) else None
-        is_c = (
-            (np.asarray(cf) == CGPT).astype(np.int64)
-            if cf is not None
-            else np.zeros(n, dtype=np.int64)
-        )
-        key = colors.astype(np.int64) * 2 + is_c
-        perm = np.argsort(key, kind="stable")  # new -> old
-        hh.gs_key[l] = key[perm]
+
+        perm = None
+        if banded_on and _pick_format(al, pars) == "ell" and l < nl - 1:
+            # try the block-banded MXU layout: RCM to shrink the block
+            # bandwidth, accept if the dense band fits the byte budget
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            m = sp.csr_matrix((al.data, al.indices, al.indptr),
+                              shape=al.shape)
+            rcm = np.asarray(
+                reverse_cuthill_mckee(m, symmetric_mode=True),
+                dtype=np.int64,
+            )
+            al_rcm = al.permute(rcm)
+            nb = BandedBlocks.block_bandwidth(al_rcm)
+            nbr = _round_up(max(n, 1), 128) // 128
+            band_bytes = nbr * (2 * nb + 1) * 128 * 128 * op_itemsize
+            if band_bytes <= pars.banded_level_bytes:
+                perm = rcm
+                hh.banded_nb[l] = nb
+
+        if perm is None:
+            colors = color_graph(al)
+            cf = hh.cfmark[l] if l < len(hh.cfmark) else None
+            is_c = (
+                (np.asarray(cf) == CGPT).astype(np.int64)
+                if cf is not None
+                else np.zeros(n, dtype=np.int64)
+            )
+            key = colors.astype(np.int64) * 2 + is_c
+            perm = np.argsort(key, kind="stable")  # new -> old
+            hh.gs_key[l] = key[perm]
         if np.array_equal(perm, np.arange(n, dtype=np.int64)):
             continue
         hh.perms[l] = perm
@@ -695,10 +729,13 @@ def _level_from_csr(
     pars: AMGParams,
     gs_key: Optional[np.ndarray] = None,
     is_coarse: bool = False,
+    banded_nb: Optional[int] = None,
 ) -> Level:
     from .params import SMALLFLOAT
 
     fmt = _pick_format(al, pars)
+    if banded_nb is not None and fmt == "ell":
+        fmt = "banded"
     op_dtype = dtype if (not is_coarse or pars.coarse_op_dtype == "same") \
         else jnp.dtype(pars.coarse_op_dtype)
     ell_cols_np = ell_vals_np = None
@@ -707,6 +744,9 @@ def _level_from_csr(
             al, dtype=op_dtype, pad_rows_to=pad,
             blocked=_dia_blocked(Dia.num_offsets(al), pad, op_dtype),
         )
+    elif fmt == "banded":
+        a_dev = BandedBlocks.from_csr(al, dtype=op_dtype, nb=banded_nb,
+                                      pad_rows_to=pad)
     elif fmt == "dense":
         a_dev = Dense.from_csr(al, dtype=op_dtype, pad_rows_to=pad,
                                pad_cols_to=pad)
@@ -752,7 +792,7 @@ def _level_from_csr(
             (int(s), int(e - s)) for s, e in zip(starts, ends)
         )
         group_cf = [int(gs_key[s] % 2) for s in starts]
-    elif fmt in ("dia", "dense"):
+    elif fmt in ("dia", "dense", "banded"):
         # gather-free masked GS path (full-operator product + class mask)
         groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
         gid_dev = jnp.asarray(np.asarray(gid, dtype=np.int32))
@@ -804,12 +844,17 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
             and hh.perms[E + 1] is not None:
         emb = list(emb)
         emb[E + 1] = emb[E + 1][hh.perms[E + 1]]
-    # dense levels pad to the 128-lane boundary so the level's vectors are
-    # directly usable as matvec operands; embedded levels share level 0's pad
+    # dense/banded levels pad to the 128-lane boundary so the level's
+    # vectors are directly usable as (block) matvec operands; embedded
+    # levels share level 0's pad
     pads = [
-        _round_up(max(m.n_rows, 1),
-                  128 if _pick_format(m, pars) == "dense" else 8)
-        for m in hh.a
+        _round_up(
+            max(m.n_rows, 1),
+            128 if (_pick_format(m, pars) == "dense"
+                    or (hh.banded_nb is not None
+                        and hh.banded_nb[l] is not None)) else 8,
+        )
+        for l, m in enumerate(hh.a)
     ]
     pad0 = pads[0]
     if E >= 1 and hh.a[0].n_rows >= 65536:
@@ -838,7 +883,9 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         gs_key = hh.gs_key[l] if hh.gs_key is not None else None
         levels.append(
             _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype,
-                            pars, gs_key=gs_key, is_coarse=l >= 1)
+                            pars, gs_key=gs_key, is_coarse=l >= 1,
+                            banded_nb=(hh.banded_nb[l]
+                                       if hh.banded_nb is not None else None))
         )
 
     # dense inverse of the coarsest operator.  The result is stored (and

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..sparse import Ell, Dia, Dense
+from ..sparse import Ell, Dia, Dense, BandedBlocks
 
 
 def spmv_ell(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
@@ -104,6 +104,25 @@ def spmv_dense(a: Dense, x: jnp.ndarray) -> jnp.ndarray:
     return a.vals @ x[: a.padded_cols]
 
 
+def spmv_banded(a: BandedBlocks, x: jnp.ndarray) -> jnp.ndarray:
+    """Block-banded SpMV: static shifted x slices + one batched 128x128
+    block matvec — pure streaming + MXU, no gathers.  The RCM-ordered
+    replacement for gather-ELL coarse levels."""
+    nbr = a.vals.shape[0]
+    w = a.vals.shape[1]
+    nb = a.nb
+    pad = nbr * 128
+    xp = jnp.pad(x[:pad], (nb * 128, nb * 128)).astype(a.vals.dtype)
+    xw = jnp.stack(
+        [jax.lax.slice(xp, (d * 128,), (d * 128 + pad,)).reshape(nbr, 128)
+         for d in range(w)],
+        axis=1,
+    )  # (nbr, w, 128): block-column d of block-row i = x block i + d - nb
+    y = jnp.einsum("idrc,idc->ir", a.vals, xw,
+                   preferred_element_type=x.dtype)
+    return y.reshape(pad).astype(x.dtype)
+
+
 def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x. Returns a vector of length ``a.padded_rows`` (padding rows
     produce zeros because their values are zero).  Dispatches on format."""
@@ -111,6 +130,8 @@ def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
         return spmv_dia(a, x)
     if isinstance(a, Dense):
         return spmv_dense(a, x)
+    if isinstance(a, BandedBlocks):
+        return spmv_banded(a, x)
     return spmv_ell(a, x)
 
 

@@ -236,6 +236,9 @@ class DistAMGSolver:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.ndev = int(np.prod(list(self.mesh.shape.values())))
         self.a = a
+        # BandedBlocks has no sharding path yet; row-sharded ELL covers
+        # the distributed case
+        pars = pars.replace(use_banded="off")
         self.pars = pars
         mg, hh = setup(a, pars, log=log)
         self.host_hierarchy = hh

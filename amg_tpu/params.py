@@ -202,6 +202,13 @@ class AMGParams:
     # FCG outer iteration runs in f64 against the f64 operator while the
     # preconditioner cycle runs in `dtype`.
     accel: str = "none"
+    # Block-banded MXU format for gather-bound coarse levels: RCM-reorder
+    # the level and store dense 128x128 blocks along the block band when
+    # that fits `banded_level_bytes` — static shifted slices + batched
+    # block matvec instead of XLA gathers (~37M gathered elements/s).
+    # "auto" enables it on a single device; "on"/"off" force.
+    use_banded: str = "auto"
+    banded_level_bytes: float = 2.5e9
     # Non-Galerkin coarse-operator sparsification (Falgout/Schroder-style):
     # on levels >= sparsify_from_level drop entries with
     # |a_ij| < threshold * sqrt(|a_ii a_jj|) and lump the dropped mass

@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SMALLFLOAT
-from ..sparse import Ell, Dia, Dense
+from ..sparse import Ell, Dia, Dense, BandedBlocks
 from ..ops.spmv import spmv
 from ..ops.blas import dot, norm2
 
 
 def _as_op(a):
-    if isinstance(a, (Ell, Dia, Dense)):
+    if isinstance(a, (Ell, Dia, Dense, BandedBlocks)):
         return lambda v: spmv(a, v)
     return a
 

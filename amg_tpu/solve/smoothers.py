@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SmootherType
-from ..sparse import Dia, Dense
+from ..sparse import Dia, Dense, BandedBlocks
 
 
 def _masked_group_update(level, x, b, g: int, relax=None):
@@ -127,7 +127,7 @@ def gs_sweep(level, x, b, order, relax=None):
         for g in order:
             start, size = level.ranges[g]
             x = upd(level, x, b, start, size, relax=relax)
-    elif isinstance(level.a, (Dia, Dense)):
+    elif isinstance(level.a, (Dia, Dense, BandedBlocks)):
         for g in order:
             x = _masked_group_update(level, x, b, g, relax=relax)
     else:

@@ -599,3 +599,94 @@ class Dia:
             np.concatenate(rows_l), np.concatenate(cols_l),
             np.concatenate(data_l), self.shape,
         )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BandedBlocks:
+    """Block-banded dense storage — the MXU path for RCM-ordered levels.
+
+    ``vals[i, d, r, c] = A[128 i + r, 128 (i + d - nb) + c]``: each block
+    row ``i`` holds its ``2 nb + 1`` dense 128x128 blocks along the block
+    band.  SpMV is ``2 nb + 1`` STATIC shifted slices of x (no gathers)
+    feeding one batched block matvec — the cure for gather-bound compact
+    coarse levels (XLA ELL gathers measured ~37M elements/s on TPU; this
+    format is plain HBM streaming + MXU).
+
+    Requires the level to be bandwidth-reduced first (reverse
+    Cuthill-McKee in ``hierarchy.reorder_for_gs``); the fill cost is
+    ``(2 nb + 1) * 128 * pad / nnz`` — bounded by the caller's byte
+    budget.  No reference equivalent (the reference's CSR SpMV gathers
+    globally, amg/SSS_utils.c:182-201).
+    """
+
+    vals: jnp.ndarray          # (nbr, 2*nb+1, 128, 128)
+    nb: int                    # static block half-bandwidth
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.vals,), (self.nb, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (vals,) = children
+        nb, shape, nnz = aux
+        return cls(vals, nb, shape, nnz)
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.vals.shape[0] * 128
+
+    @staticmethod
+    def block_bandwidth(a: CSR) -> int:
+        """Max |block(col) - block(row)| over the pattern."""
+        if a.nnz == 0:
+            return 0
+        rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), a.row_degrees)
+        return int(np.max(np.abs((a.indices.astype(np.int64) >> 7)
+                                 - (rows >> 7))))
+
+    @staticmethod
+    def from_csr(a: CSR, dtype=jnp.float64, nb: int | None = None,
+                 pad_rows_to: int | None = None) -> "BandedBlocks":
+        n = a.n_rows
+        pad = _round_up(max(n, 1), 128)
+        if pad_rows_to is not None:
+            pad = max(pad, _round_up(pad_rows_to, 128))
+        nbr = pad // 128
+        if nb is None:
+            nb = BandedBlocks.block_bandwidth(a)
+        w = 2 * nb + 1
+        rows = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
+        cols = a.indices.astype(np.int64)
+        bi, r = rows >> 7, rows & 127
+        d = (cols >> 7) - bi + nb
+        if len(d) and (d.min() < 0 or d.max() >= w):
+            raise ValueError("entries outside the declared block band")
+        c = cols & 127
+        lin = ((bi * w + d) * 128 + r) * 128 + c
+        flat = np.zeros(nbr * w * 128 * 128, dtype=np.dtype(dtype))
+        flat[lin] = a.data
+        return BandedBlocks(
+            jnp.asarray(flat.reshape(nbr, w, 128, 128)),
+            int(nb), a.shape, a.nnz,
+        )
+
+    def to_csr(self) -> CSR:
+        vals = np.asarray(self.vals, dtype=np.float64)
+        nbr, w = vals.shape[0], vals.shape[1]
+        bi, d, r, c = np.nonzero(vals)
+        rows = bi * 128 + r
+        cols = (bi + d - self.nb) * 128 + c
+        keep = (rows < self.n_rows) & (cols >= 0) & (cols < self.n_cols)
+        return CSR.from_coo(rows[keep], cols[keep],
+                            vals[bi, d, r, c][keep], self.shape)

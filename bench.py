@@ -90,9 +90,11 @@ def main():
                            "cg" if n_side >= 128 else "none")
     embed_bytes = float(os.environ.get("AMG_BENCH_EMBED_BYTES", "6e9"))
     sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.01"))
+    banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "2.5e9"))
     pars = amg.AMGParams(
         embed_max_bytes=embed_bytes,
         coarse_sparsify=sparsify,
+        banded_level_bytes=banded_bytes,
         tol=tol,
         dtype=dtype,
         smoother=SmootherType[smoother_name],

@@ -641,3 +641,25 @@ def test_pgmres_accel_nonsymmetric():
     r = b - a.matvec(x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
     assert info.nits <= 40
+
+
+def test_banded_level_solve_matches_ell():
+    """Forcing the BandedBlocks format on coarse levels reproduces the
+    ELL-format solve (same hierarchy numerics, different storage)."""
+    a = amg.poisson3d(12)
+    b = np.random.default_rng(19).standard_normal(a.n_rows)
+    base = AMGParams(verbose=0, tol=1e-8, max_diags=0, embed_levels=0,
+                     dense_level_bytes=0)  # force ELL everywhere
+    s_ell = amg.AMGSolver(a, base.replace(use_banded="off"),
+                          log=lambda *x: None)
+    s_bb = amg.AMGSolver(a, base.replace(use_banded="on"),
+                         log=lambda *x: None)
+    from amg_tpu.sparse import BandedBlocks, Ell
+    assert any(isinstance(l.a, BandedBlocks) for l in s_bb.mg.levels[1:])
+    assert all(isinstance(l.a, Ell) for l in s_ell.mg.levels)
+    x1, i1 = s_ell.solve(b)
+    x2, i2 = s_bb.solve(b)
+    assert i1.rres < 1e-8 and i2.rres < 1e-8
+    assert abs(i1.nits - i2.nits) <= 1
+    r = b - a.matvec(x2)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8

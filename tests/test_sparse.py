@@ -179,3 +179,23 @@ def test_pallas_kernel_blocked_vals():
     y2 = np.asarray(spmv_dia(d2, x))
     # f32 with a different accumulation order (grouped by lane remainder)
     np.testing.assert_allclose(y3, y2, rtol=2e-4, atol=1e-5)
+
+
+def test_banded_blocks_matches_csr():
+    """BandedBlocks SpMV == host CSR matvec, round-trip preserved."""
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.sparse import BandedBlocks
+    from amg_tpu.ops.spmv import spmv
+
+    a = amg.poisson3d(8)  # n=512, bandwidth 64 -> nb=1
+    bb = BandedBlocks.from_csr(a, dtype=jnp.float64)
+    assert bb.nb >= 1 and bb.padded_rows % 128 == 0
+    rng_ = np.random.default_rng(7)
+    x = rng_.standard_normal(bb.padded_rows)
+    x[a.n_rows:] = 0.0
+    y = np.asarray(spmv(bb, jnp.asarray(x)))
+    want = a.matvec(x[: a.n_rows])
+    np.testing.assert_allclose(y[: a.n_rows], want, rtol=1e-13, atol=1e-13)
+    assert y[a.n_rows:].size == 0 or np.abs(y[a.n_rows:]).max() == 0.0
+    np.testing.assert_allclose(bb.to_csr().to_dense(), a.to_dense())
