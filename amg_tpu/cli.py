@@ -141,6 +141,11 @@ def load_matrix(spec: str):
         return poisson2d(int(spec.split(":", 1)[1]))
     if spec.startswith("poisson3d:"):
         return poisson3d(int(spec.split(":", 1)[1]))
+    if spec.startswith("anisotropic:"):
+        # anisotropic:N or anisotropic:N:eps (epsilon-scaled y-coupling)
+        parts = spec.split(":")
+        eps = float(parts[2]) if len(parts) > 2 else 1e-3
+        return poisson2d(int(parts[1]), epsilon=eps)
     return read_mtx(spec)
 
 

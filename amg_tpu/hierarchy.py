@@ -303,6 +303,7 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
         n = al.n_rows
 
         perm = None
+        clip_nb = None
         if banded_on and _pick_format(al, pars) == "ell" and l < nl - 1:
             # try the block-banded MXU layout: RCM to shrink the block
             # bandwidth, accept if the dense band fits the byte budget
@@ -322,6 +323,23 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
             if band_bytes <= pars.banded_level_bytes:
                 perm = rcm
                 hh.banded_nb[l] = nb
+            elif pars.banded_clip_frac > 0:
+                # the band overshoots the budget: clip at the largest nb
+                # that fits and lump the out-of-band tail into the
+                # diagonal, if that tail is a small fraction of nnz
+                per_w = nbr * 128 * 128 * op_itemsize
+                nb_fit = int((pars.banded_level_bytes / per_w - 1) // 2)
+                if nb_fit >= 1:
+                    rows = np.repeat(
+                        np.arange(n, dtype=np.int64), al_rcm.row_degrees)
+                    bd = np.abs(
+                        (al_rcm.indices.astype(np.int64) >> 7) - (rows >> 7))
+                    frac = float(np.count_nonzero(bd > nb_fit)) \
+                        / max(al_rcm.nnz, 1)
+                    if frac <= pars.banded_clip_frac:
+                        perm = rcm
+                        hh.banded_nb[l] = nb_fit
+                        clip_nb = nb_fit
 
         if perm is None:
             colors = color_graph(al)
@@ -334,20 +352,42 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
             key = colors.astype(np.int64) * 2 + is_c
             perm = np.argsort(key, kind="stable")  # new -> old
             hh.gs_key[l] = key[perm]
-        if np.array_equal(perm, np.arange(n, dtype=np.int64)):
-            continue
-        hh.perms[l] = perm
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(n, dtype=np.int64)
-        hh.a[l] = al.permute(perm)
-        hh.p[l - 1] = hh.p[l - 1].permute_cols(inv)
-        hh.r[l - 1] = hh.r[l - 1].permute_rows(perm)
-        if l < nl - 1:
-            hh.p[l] = hh.p[l].permute_rows(perm)
-            hh.r[l] = hh.r[l].permute_cols(inv)
-        if l < len(hh.cfmark) and hh.cfmark[l] is not None:
-            hh.cfmark[l] = np.asarray(hh.cfmark[l])[perm]
+        if not np.array_equal(perm, np.arange(n, dtype=np.int64)):
+            hh.perms[l] = perm
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(n, dtype=np.int64)
+            hh.a[l] = al.permute(perm)
+            hh.p[l - 1] = hh.p[l - 1].permute_cols(inv)
+            hh.r[l - 1] = hh.r[l - 1].permute_rows(perm)
+            if l < nl - 1:
+                hh.p[l] = hh.p[l].permute_rows(perm)
+                hh.r[l] = hh.r[l].permute_cols(inv)
+            if l < len(hh.cfmark) and hh.cfmark[l] is not None:
+                hh.cfmark[l] = np.asarray(hh.cfmark[l])[perm]
+        if clip_nb is not None:
+            hh.a[l] = clip_to_band(hh.a[l], clip_nb)
     return hh
+
+
+def clip_to_band(a: CSR, nb: int) -> CSR:
+    """Drop entries outside the block band ``|block(j) - block(i)| <= nb``
+    and lump them into the diagonal (row sums preserved) — the geometric
+    cousin of :func:`sparsify_operator`, used when an RCM band slightly
+    overshoots the BandedBlocks byte budget."""
+    n = a.n_rows
+    rows = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
+    cols = a.indices.astype(np.int64)
+    keep = np.abs((cols >> 7) - (rows >> 7)) <= nb
+    lump = np.bincount(rows[~keep], weights=a.data[~keep], minlength=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.bincount(rows[keep], minlength=n)
+    np.cumsum(indptr, out=indptr)
+    data = a.data[keep].copy()
+    new_cols = cols[keep].astype(np.int32)
+    kept_rows = rows[keep]
+    is_diag = new_cols == kept_rows
+    data[is_diag] += lump[kept_rows[is_diag]]
+    return CSR(indptr, new_cols, data, a.shape)
 
 
 # ---------------------------------------------------------------------------

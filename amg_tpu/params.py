@@ -209,6 +209,11 @@ class AMGParams:
     # "auto" enables it on a single device; "on"/"off" force.
     use_banded: str = "auto"
     banded_level_bytes: float = 2.5e9
+    # When the RCM band slightly exceeds the byte budget, clip the band at
+    # the largest nb that fits and lump the out-of-band entries into the
+    # diagonal — IF they are at most this fraction of the level's nnz
+    # (geometric cousin of coarse_sparsify; row sums preserved).
+    banded_clip_frac: float = 0.02
     # Non-Galerkin coarse-operator sparsification (Falgout/Schroder-style):
     # on levels >= sparsify_from_level drop entries with
     # |a_ij| < threshold * sqrt(|a_ii a_jj|) and lump the dropped mass

@@ -222,6 +222,7 @@ class AMGSolver:
         # them in batches: a device->host sync is expensive (tens of ms
         # through a remote-execution relay), dispatches are cheap.
         check_every = 1 if pars.verbose else 4
+        mod_rel = pars.stop_type == StopType.MOD_REL_RES
         pending: list = []  # (it, device x, device absres)
         stop = False
         for it in range(1, pars.max_it + 1):
@@ -230,9 +231,20 @@ class AMGSolver:
             if len(pending) >= check_every or it == pars.max_it:
                 batch = jnp.stack([r for _, _, r in pending])
                 vals = np.asarray(batch)  # one sync for the whole batch
-                for (it_i, x_i, _), absres in zip(pending, vals):
+                xnorms = (
+                    np.asarray(jnp.stack([norm2(xv) for _, xv, _ in pending]))
+                    if mod_rel else None
+                )
+                for j, ((it_i, x_i, _), absres) in enumerate(
+                        zip(pending, vals)):
                     absres = float(absres)
-                    relres = absres / sumb
+                    # stop_type semantics (reference SSS_STOP_TYPE,
+                    # amg/Solve/SSS_cycle.cu:101-130): MOD_REL_RES divides
+                    # by ||x||; REL_PRECRES with B=I equals REL_RES (the
+                    # reference's preconditioner B is identity)
+                    denom = (max(float(xnorms[j]), 1e-300) if mod_rel
+                             else sumb)
+                    relres = absres / denom
                     factor = absres / absres0
                     absres0 = absres
                     if pars.verbose:

@@ -34,26 +34,42 @@ def _as_op(a):
     return a
 
 
-def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None):
+def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None,
+       stop_type=None):
     """Conjugate gradients. Returns ``(x, converged)``.
 
     ``a`` is an :class:`Ell` or a matvec callable; ``M`` an optional
-    preconditioner callable (z = M(r)).  Stopping: ||r|| / ||r0|| < tol
-    (reference stop_type=1 REL_RES with normr0 = max(eps, ||r0||),
-    amg/Solve/SSS_cycle.cu:101-110).
+    preconditioner callable (z = M(r)).  ``stop_type`` replicates the
+    reference's three criteria (amg/Solve/SSS_cycle.cu:101-130):
+
+    * ``REL_RES`` (default): ``||r|| / max(eps, ||r0||) < tol``
+    * ``REL_PRECRES``: ``sqrt(r.z) / sqrt(r0.z0) < tol`` (B-norm)
+    * ``MOD_REL_RES``: ``||r|| / max(eps, ||x||) < tol``
     """
+    from ..params import StopType
+
     amul = _as_op(a)
     prec = M if M is not None else (lambda v: v)
+    st = StopType.REL_RES if stop_type is None else stop_type
 
     r0 = b - amul(x0)
     z0 = prec(r0)
     absres0 = norm2(r0, axis_name)
     normr0 = jnp.maximum(SMALLFLOAT, absres0)
     rho0 = dot(z0, r0, axis_name)
+    prec0 = jnp.maximum(SMALLFLOAT, jnp.sqrt(jnp.abs(rho0)))
+
+    def _ratio(x, r, rho):
+        if st == StopType.REL_PRECRES:
+            return jnp.sqrt(jnp.abs(rho)) / prec0
+        if st == StopType.MOD_REL_RES:
+            return norm2(r, axis_name) / jnp.maximum(
+                SMALLFLOAT, norm2(x, axis_name))
+        return norm2(r, axis_name) / normr0
 
     def cond(c):
         x, r, z, p, rho, it, absres, best_x, best_res = c
-        return (it < maxit) & (absres / normr0 >= tol) & (rho != 0.0)
+        return (it < maxit) & (_ratio(x, r, rho) >= tol) & (rho != 0.0)
 
     def body(c):
         x, r, z, p, rho, it, absres, best_x, best_res = c
@@ -76,7 +92,7 @@ def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None):
     x, r, z, p, rho, it, absres, best_x, best_res = jax.lax.while_loop(
         cond, body, init
     )
-    converged = absres / normr0 < tol
+    converged = _ratio(x, r, rho) < tol
     # restore best solution when the final iterate diverged
     # (reference best-solution net, amg/Solve/SSS_cycle.cu:381-419)
     x = jnp.where(absres <= best_res, x, best_x)

@@ -280,3 +280,28 @@ def test_sparsify_operator_rowsums_and_convergence():
     x, info = solver.solve(b)
     r = np.linalg.norm(b - big.matvec(x)) / np.linalg.norm(b)
     assert r < 1e-8
+
+
+def test_clip_to_band_lumps_rowsums():
+    import amg_tpu as amg
+    from amg_tpu.hierarchy import clip_to_band
+    from amg_tpu.sparse import CSR
+
+    rng = np.random.default_rng(3)
+    n = 512
+    # banded matrix plus a few far-off-band entries
+    rows = np.arange(n)
+    base = amg.poisson3d(8)  # bandwidth 64 -> block band 1
+    far_r = rng.integers(0, n, 20)
+    far_c = (far_r + 300) % n
+    a = CSR.from_coo(
+        np.concatenate([np.repeat(np.arange(n), np.diff(base.indptr)),
+                        far_r]),
+        np.concatenate([base.indices.astype(np.int64), far_c]),
+        np.concatenate([base.data, rng.standard_normal(20)]),
+        (n, n))
+    c = clip_to_band(a, 1)
+    rows_c = np.repeat(np.arange(n), np.diff(c.indptr))
+    assert np.abs((c.indices.astype(np.int64) >> 7) - (rows_c >> 7)).max() <= 1
+    np.testing.assert_allclose(c.to_dense().sum(axis=1),
+                               a.to_dense().sum(axis=1), atol=1e-12)

@@ -663,3 +663,43 @@ def test_banded_level_solve_matches_ell():
     assert abs(i1.nits - i2.nits) <= 1
     r = b - a.matvec(x2)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_stop_types():
+    """cg stop-type criteria (reference amg/Solve/SSS_cycle.cu:101-130)
+    and the MOD_REL_RES outer criterion all converge."""
+    import jax.numpy as jnp
+    from amg_tpu.params import StopType
+
+    a = amg.poisson2d(12)
+    e = Ell.from_csr(a)
+    n, pad = a.n_rows, e.padded_rows
+    rng_ = np.random.default_rng(23)
+    x_true = rng_.standard_normal(n)
+    b = np.zeros(pad); b[:n] = a.matvec(x_true)
+    for st in (StopType.REL_RES, StopType.REL_PRECRES,
+               StopType.MOD_REL_RES):
+        x, conv = cg(e, jnp.asarray(b), jnp.zeros(pad), tol=1e-10,
+                     maxit=600, stop_type=st)
+        assert bool(conv), st
+        np.testing.assert_allclose(np.asarray(x)[:n], x_true,
+                                   rtol=1e-6, atol=1e-7)
+    # outer loop with MOD_REL_RES stopping
+    s = amg.AMGSolver(a, AMGParams(verbose=0,
+                                   stop_type=StopType.MOD_REL_RES),
+                      log=lambda *x: None)
+    xs, info = s.solve(b[:n])
+    r = b[:n] - a.matvec(xs)
+    assert np.linalg.norm(r) / max(np.linalg.norm(xs), 1e-300) < 1e-6
+
+
+def test_cli_anisotropic_spec():
+    from amg_tpu.cli import load_matrix
+
+    a = load_matrix("anisotropic:8")
+    assert a.n_rows == 64
+    d = a.to_dense()
+    # y-coupling scaled by eps=1e-3, x-coupling unscaled
+    assert abs(d[0, 1] + 1.0) < 1e-12 or abs(d[0, 1] + 1e-3) < 1e-12
+    a2 = load_matrix("anisotropic:8:0.5")
+    assert a2.n_rows == 64
