@@ -194,18 +194,25 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
 
 
 def shard_hierarchy(
-    mg: Hierarchy, mesh: Mesh, pars: AMGParams | None = None
+    mg: Hierarchy, mesh: Mesh, pars: AMGParams | None = None,
+    replicate_from_level: int | None = None,
 ) -> Hierarchy:
     """Annotate a device hierarchy with mesh shardings.
 
     Fine levels are row-sharded; levels below the replication threshold are
     replicated on every chip (coarse-grid replication).
+    ``replicate_from_level`` overrides the nnz threshold with an explicit
+    level cut (used by the shard_map cycle: sharded embedded levels,
+    replicated compact tail).
     """
     thresh = pars.coarse_replicate_nnz if pars is not None else 65536
     ndev = int(np.prod(list(mesh.shape.values())))
     levels = []
-    for lvl in mg.levels:
-        replicate = lvl.a.nnz <= thresh or lvl.pad < 8 * ndev
+    for l, lvl in enumerate(mg.levels):
+        if replicate_from_level is not None:
+            replicate = l >= replicate_from_level
+        else:
+            replicate = lvl.a.nnz <= thresh or lvl.pad < 8 * ndev
         levels.append(_shard_level(lvl, mesh, replicate, ndev))
     coarse_inv = jax.device_put(mg.coarse_inv, _replicated(mesh))
     return Hierarchy(levels=tuple(levels), coarse_inv=coarse_inv)

@@ -77,30 +77,60 @@ def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
                         interpret: bool = False) -> jnp.ndarray:
     """One shard's y = (A x)_local with neighbor halo exchange.
 
-    Call INSIDE shard_map.  The edge shards receive zeros from the
-    ``ppermute`` (no wrap-around: out-of-range band positions are zero),
-    which is exactly the global operator's boundary behavior.
+    Call INSIDE shard_map.  Halos wider than one shard block take
+    multiple hops (j-distance ``ppermute`` per neighbor ring); edge
+    shards receive zeros (no wrap-around: out-of-range band positions
+    are zero), which is exactly the global operator's boundary behavior.
     """
     lo, hi = dia_halo_widths(offsets)
     m = x_local.shape[0]
-    if max(lo, hi) > m:
-        raise ValueError(
-            f"band half-width ({lo},{hi}) exceeds the shard block ({m}); "
-            "use fewer shards or the GSPMD path"
-        )
+    k_lo = -(-lo // m) if lo else 0   # ceil
+    k_hi = -(-hi // m) if hi else 0
+    if max(k_lo, k_hi) > max(n_shards - 1, 0):
+        # halo spans the whole mesh: every out-of-mesh block is zero,
+        # clamp the hop count (the extra band positions read zeros)
+        k_lo = min(k_lo, n_shards - 1)
+        k_hi = min(k_hi, n_shards - 1)
     parts = []
     if lo:
-        left = jax.lax.ppermute(
-            x_local[m - lo:], axis_name,
-            [(i, i + 1) for i in range(n_shards - 1)],
-        )
+        blocks = [
+            jax.lax.ppermute(
+                x_local, axis_name,
+                [(i, i + j) for i in range(n_shards - j)],
+            )
+            for j in range(k_lo, 0, -1)
+        ]  # farthest neighbor first -> ascending global position
+        if not blocks:  # single shard: the whole halo is out of range
+            left = jnp.zeros((lo,), x_local.dtype)
+        else:
+            left = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+            want = k_lo * m
+            if want > lo:
+                left = left[want - lo:]
+            elif want < lo:
+                # hop count clamped at the mesh edge: missing blocks zero
+                left = jnp.concatenate(
+                    [jnp.zeros((lo - want,), x_local.dtype), left])
         parts.append(left)
     parts.append(x_local)
     if hi:
-        right = jax.lax.ppermute(
-            x_local[:hi], axis_name,
-            [(i + 1, i) for i in range(n_shards - 1)],
-        )
+        blocks = [
+            jax.lax.ppermute(
+                x_local, axis_name,
+                [(i + j, i) for i in range(n_shards - j)],
+            )
+            for j in range(1, k_hi + 1)
+        ]
+        if not blocks:
+            right = jnp.zeros((hi,), x_local.dtype)
+        else:
+            right = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+            if right.shape[0] > hi:
+                right = right[:hi]
+            elif right.shape[0] < hi:
+                right = jnp.concatenate(
+                    [right,
+                     jnp.zeros((hi - right.shape[0],), x_local.dtype)])
         parts.append(right)
     xw = jnp.concatenate(parts) if len(parts) > 1 else x_local
     return dia_spmv_local(offsets, vals_local, xw, interpret=interpret)

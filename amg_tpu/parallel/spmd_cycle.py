@@ -1,0 +1,386 @@
+"""Hand-placed SPMD V-cycle under ``shard_map``.
+
+The GSPMD path (parallel/dist.py) annotates shardings and lets XLA place
+the collectives.  This module is the explicit alternative for
+fine-grid-embedded hierarchies, where every hot operator is a DIA
+stencil over the shared fine-grid index space:
+
+* levels ``0..E`` are **row-sharded**: vectors split into contiguous
+  blocks, operators split their value planes (``P(None, 'x')``); every
+  operator application is the ring halo-exchange product of
+  :mod:`amg_tpu.parallel.halo` (two neighbor ``ppermute`` s + local
+  compute — the per-shard Pallas kernel on TPU);
+* the embedded->compact boundary compacts the residual with a local
+  clipped gather + ``psum`` (the compact vector is small and becomes
+  replicated);
+* compact levels ``> E`` are **replicated**: every shard runs the
+  identical small-coarse correction (the standard coarse-grid
+  redundancy trade — no communication at depth);
+* dots and norms ``psum`` over the mesh axis.
+
+This is the scaling-book "place the collectives yourself" recipe, and
+the composition GSPMD cannot express: an un-annotated ``pallas_call``
+inside a sharded computation.  No reference equivalent (the reference is
+single-address-space; SURVEY.md section 5 "long-context analog").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..hierarchy import Hierarchy, Level
+from ..params import AMGParams, SmootherType
+from ..sparse import Dia, Ell, Dense, BandedBlocks
+from ..ops.blas import norm2
+from .halo import dia_spmv_ring_local
+
+
+# ---------------------------------------------------------------------------
+# Partition specs
+# ---------------------------------------------------------------------------
+
+
+def _mat_specs(m, row_sharded: bool, axis: str):
+    """Spec pytree with the same structure as matrix container ``m``."""
+    if m is None:
+        return None
+    if isinstance(m, Dia):
+        spec = P(None, axis) if row_sharded else P()
+        return Dia(spec, m.offsets, m.shape, m.nnz)
+    if isinstance(m, Ell):
+        s = P(axis) if row_sharded else P()
+        return Ell(s, s, m.shape, m.nnz)
+    if isinstance(m, Dense):
+        return Dense(P(axis) if row_sharded else P(), m.shape, m.nnz)
+    if isinstance(m, BandedBlocks):
+        return BandedBlocks(P(), m.nb, m.shape, m.nnz)
+    raise TypeError(type(m))
+
+
+def _level_specs(level: Level, sharded: bool, axis: str) -> Level:
+    V = P(axis) if sharded else P()
+    R = P()
+
+    def vec(x, spec):
+        return None if x is None else spec
+
+    return Level(
+        a=_mat_specs(level.a, sharded, axis),
+        p=_mat_specs(level.p, sharded, axis),
+        r=_mat_specs(level.r, sharded, axis),
+        diag=vec(level.diag, V),
+        inv_diag=vec(level.inv_diag, V),
+        l1_inv=vec(level.l1_inv, V),
+        diag_mask=vec(level.diag_mask, R),
+        groups=vec(level.groups, R),
+        gid=vec(level.gid, V),
+        rho_dinv_a=R,
+        group_cf=level.group_cf,
+        ranges=level.ranges,
+        compact_idx=vec(level.compact_idx, R),
+        member_idx=vec(level.member_idx, R),
+    )
+
+
+def hierarchy_specs(mg: Hierarchy, n_embedded: int, axis: str = "x"):
+    """Partition-spec pytree for a hierarchy: levels ``0..n_embedded``
+    row-sharded, deeper (compact) levels replicated."""
+    levels = tuple(
+        _level_specs(lvl, l <= n_embedded, axis)
+        for l, lvl in enumerate(mg.levels)
+    )
+    return Hierarchy(levels=levels, coarse_inv=P())
+
+
+def num_embedded(mg: Hierarchy) -> int:
+    """Deepest fine-grid-embedded level: the one carrying the boundary
+    (compact_idx / member_idx); 0 when the hierarchy is fully compact."""
+    for l, lvl in enumerate(mg.levels):
+        if lvl.compact_idx is not None or lvl.member_idx is not None:
+            return l
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Local (per-shard) building blocks — call INSIDE shard_map
+# ---------------------------------------------------------------------------
+
+
+def _ring_spmv(a: Dia, x_local, axis: str, n_shards: int):
+    return dia_spmv_ring_local(a.offsets, n_shards, axis, a.vals, x_local)
+
+
+def _chebyshev_local(level, x, b, degree, axis, n_shards):
+    """Chebyshev smoothing with ring SpMVs (same math as
+    solve/smoothers.py::_chebyshev)."""
+    amul = lambda v: _ring_spmv(level.a, v, axis, n_shards)
+    rho = level.rho_dinv_a
+    theta = 0.5 * (rho + rho / 4.0)
+    delta = 0.5 * (rho - rho / 4.0)
+    sigma = theta / delta
+    rho_old = 1.0 / sigma
+
+    r = level.inv_diag * (b - amul(x))
+    d = r / theta
+    x = x + d
+    for _ in range(max(degree - 1, 0)):
+        rho_new = 1.0 / (2.0 * sigma - rho_old)
+        r = level.inv_diag * (b - amul(x))
+        d = rho_new * rho_old * d + 2.0 * rho_new / delta * r
+        x = x + d
+        rho_old = rho_new
+    return x
+
+
+def _masked_gs_local(level, x, b, order, axis, n_shards):
+    """Multicolor masked GS with ring SpMVs (same math as
+    solve/smoothers.py::_masked_group_update; gid is row-sharded so the
+    mask is local)."""
+    for g in order:
+        ax = _ring_spmv(level.a, x, axis, n_shards)
+        t = (b - ax + level.diag * x) * level.inv_diag
+        upd = (level.gid == g) & (level.inv_diag != 0)
+        x = jnp.where(upd, t, x)
+    return x
+
+
+def _smooth_local(level, x, b, pars, nsweeps, pre, axis, n_shards):
+    from ..solve.smoothers import _order
+
+    sm = pars.smoother
+    if sm in (SmootherType.POLY, SmootherType.CHEBYSHEV):
+        return _chebyshev_local(level, x, b, pars.poly_deg, axis, n_shards)
+    if sm in (SmootherType.JACOBI, SmootherType.WJACOBI):
+        w = 1.0 if sm == SmootherType.JACOBI else pars.relax
+        for _ in range(nsweeps):
+            x = x + w * level.inv_diag * (
+                b - _ring_spmv(level.a, x, axis, n_shards))
+        return x
+    if sm == SmootherType.L1DIAG:
+        for _ in range(nsweeps):
+            x = x + level.l1_inv * (
+                b - _ring_spmv(level.a, x, axis, n_shards))
+        return x
+    if sm in (SmootherType.GS, SmootherType.SOR):
+        relax = None if sm == SmootherType.GS else pars.relax
+        for _ in range(nsweeps):
+            order = _order(level, pre, pars.cf_order, pre)
+            for g in order:
+                ax = _ring_spmv(level.a, x, axis, n_shards)
+                t = (b - ax + level.diag * x) * level.inv_diag
+                if relax is not None:
+                    t = (1.0 - relax) * x + relax * t
+                upd = (level.gid == g) & (level.inv_diag != 0)
+                x = jnp.where(upd, t, x)
+        return x
+    raise ValueError(
+        f"smoother {sm} not supported in the shard_map cycle "
+        "(supported: GS/SOR/Jacobi/WJacobi/L1/Chebyshev)")
+
+
+def _cycle_local(mg, l, x, b, pars, ctol, E, axis, n_shards, m_local):
+    """One V/W-cycle on the sharded embedded levels; replicated compact
+    recursion below the boundary."""
+    from ..solve.cycle import _cycle_level, coarsest_solve
+
+    nl = mg.num_levels
+    level = mg.levels[l]
+    repeats = 1 if l == 0 else max(pars.cycle_type, 1)
+    pars_l = pars if (l == 0 or pars.coarse_smoother is None) \
+        else pars.replace(smoother=pars.coarse_smoother)
+
+    for _ in range(repeats):
+        x = _smooth_local(level, x, b, pars_l, pars.pre_iter, True,
+                          axis, n_shards)
+        r = b - _ring_spmv(level.a, x, axis, n_shards)
+        if l == E:
+            # boundary: compact the residual.  member positions are
+            # global; each shard contributes the entries it owns, psum
+            # replicates the (small) compact vector everywhere.
+            if level.member_idx is not None:
+                ridx = level.member_idx
+                rc_full = r  # embedded residual (local block)
+            else:
+                # embedded-P/R boundary: apply embedded R first, then
+                # compact via compact_idx
+                rc_full = _ring_spmv(level.r, r, axis, n_shards)
+                ridx = level.compact_idx
+            start = jax.lax.axis_index(axis) * m_local
+            loc = ridx.astype(jnp.int32) - start
+            inrange = (loc >= 0) & (loc < m_local)
+            gathered = rc_full[jnp.clip(loc, 0, m_local - 1)]
+            rc = jax.lax.psum(
+                jnp.where(inrange, gathered, 0.0), axis)
+            if level.member_idx is not None:
+                nE = level.p.n_rows
+                rc = jnp.where(jnp.arange(rc.shape[0]) < nE, rc, 0.0)
+                bc = _compact_spmv(level.r, rc)
+                nn = mg.levels[l + 1].n
+                bc = jnp.where(jnp.arange(bc.shape[0]) < nn, bc, 0.0)
+            else:
+                nn = mg.levels[l + 1].n
+                bc = jnp.where(jnp.arange(rc.shape[0]) < nn, rc, 0.0)
+            xc = jnp.zeros_like(bc)
+            # replicated compact correction (identical on every shard)
+            xc = _cycle_level(mg, l + 1, xc, bc, pars, ctol)
+            # prolong back: compact -> embedded scatter into local block
+            if level.member_idx is not None:
+                xe_c = _compact_spmv(level.p, xc)
+                src = xe_c
+                sidx = level.member_idx
+            else:
+                # scatter compact values to embedded positions, then
+                # apply embedded P
+                sidx = level.compact_idx
+                src = xc
+            loc_s = sidx.astype(jnp.int32) - start
+            in_s = (loc_s >= 0) & (loc_s < m_local)
+            contrib = jnp.zeros_like(x).at[
+                jnp.where(in_s, loc_s, m_local)
+            ].add(jnp.where(in_s, src.astype(x.dtype), 0.0), mode="drop")
+            if level.member_idx is not None:
+                x = x + contrib
+            else:
+                x = x + _ring_spmv(level.p, contrib, axis, n_shards)
+        else:
+            bc = _ring_spmv(level.r, r, axis, n_shards)
+            xc = jnp.zeros_like(bc)
+            xc = _cycle_local(mg, l + 1, xc, bc, pars, ctol, E, axis,
+                              n_shards, m_local)
+            x = x + _ring_spmv(level.p, xc, axis, n_shards)
+        x = _smooth_local(level, x, b, pars_l, pars.post_iter, False,
+                          axis, n_shards)
+    return x
+
+
+def _compact_spmv(a, v):
+    from ..ops.spmv import spmv
+
+    return spmv(a, v)
+
+
+def cycle_spmd(mg, x, b, pars, E, axis, n_shards, m_local):
+    """One cycle on the sharded level-0 block (inside shard_map)."""
+    ctol = min(pars.ctol, pars.tol * 0.1) if pars.ctol > pars.tol \
+        else pars.ctol
+    if E == 0:
+        raise ValueError("shard_map cycle requires an embedded hierarchy "
+                         "(E >= 1); use the GSPMD DistAMGSolver otherwise")
+    return _cycle_local(mg, 0, x, b, pars, ctol, E, axis, n_shards, m_local)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+class SpmdAMGSolver:
+    """Multi-chip AMG with the hand-placed shard_map cycle.
+
+    Setup runs on the host exactly as for :class:`AMGSolver`; the device
+    hierarchy is placed with row shardings on the embedded levels and
+    replication below, and each solve iteration is ONE shard_map program:
+    ring halo exchanges on the embedded levels, psum reductions, and
+    redundant replicated coarse corrections.
+    """
+
+    def __init__(self, a, pars: AMGParams = AMGParams(),
+                 mesh: Mesh | None = None, log=print):
+        from ..hierarchy import setup
+        from .dist import make_mesh, shard_hierarchy, shard_vector
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self.ndev = int(np.prod(list(self.mesh.shape.values())))
+        self.a = a
+        # blocked Dia / BandedBlocks have no shard_map path
+        pars = pars.replace(use_banded="off")
+        self.pars = pars
+        mg, hh = setup(a, pars, log=log)
+        self.host_hierarchy = hh
+        self.E = num_embedded(mg)
+        if self.E == 0:
+            raise ValueError(
+                "SpmdAMGSolver requires a fine-grid-embedded hierarchy "
+                "(banded level-0 operator); use DistAMGSolver instead")
+        self.pad = mg.levels[0].pad
+        if self.pad % self.ndev != 0:
+            raise ValueError(
+                f"padded rows {self.pad} not divisible by mesh size "
+                f"{self.ndev}")
+        self.m_local = self.pad // self.ndev
+        # bands wider than a shard block take multi-hop halos (halo.py);
+        # no feasibility restriction beyond the mesh extent
+        # place the arrays: row-shard embedded levels, replicate the rest
+        self.mg = shard_hierarchy(mg, self.mesh, pars,
+                                  replicate_from_level=self.E + 1)
+        self.dtype = jnp.dtype(pars.dtype)
+
+        from jax.experimental.shard_map import shard_map
+
+        specs = hierarchy_specs(self.mg, self.E, self.axis)
+        axis, ndev, m_local, E = self.axis, self.ndev, self.m_local, self.E
+
+        def _step_local(mg_l, x_l, b_l):
+            x_l = cycle_spmd(mg_l, x_l, b_l, pars, E, axis, ndev, m_local)
+            r_l = b_l - dia_spmv_ring_local(
+                mg_l.levels[0].a.offsets, ndev, axis,
+                mg_l.levels[0].a.vals, x_l)
+            return x_l, norm2(r_l, axis)
+
+        self._step_fn = jax.jit(
+            shard_map(
+                _step_local,
+                mesh=self.mesh,
+                in_specs=(specs, P(self.axis), P(self.axis)),
+                out_specs=(P(self.axis), P()),
+            )
+        )
+        self._shard_vector = lambda v: shard_vector(v, self.mesh)
+
+    def solve(self, b, x0=None):
+        """Host loop over the jitted shard_map step (same stopping rules
+        as AMGSolver.solve)."""
+        import time
+
+        from ..params import SolveInfo
+        from ..solve.driver import print_itinfo
+
+        pars = self.pars
+        n = self.a.n_rows
+        bd = np.zeros(self.pad, dtype=self.dtype)
+        bd[:n] = np.asarray(b, dtype=self.dtype)[:n]
+        xd = np.zeros(self.pad, dtype=self.dtype)
+        if x0 is not None:
+            xd[:n] = np.asarray(x0, dtype=self.dtype)[:n]
+        bd = self._shard_vector(bd)
+        xd = self._shard_vector(xd)
+
+        info = SolveInfo()
+        sumb = float(norm2(jnp.asarray(bd)))
+        t0 = time.perf_counter()
+        if pars.verbose:
+            print_itinfo(pars.stop_type, 0, 1.0, sumb, 0.0)
+        if sumb == 0.0:
+            return np.zeros(n), info
+        absres0 = sumb
+        for it in range(1, pars.max_it + 1):
+            xd, absres_d = self._step_fn(self.mg, xd, bd)
+            absres = float(absres_d)
+            relres = absres / sumb
+            factor = absres / absres0 if absres0 > 0 else 0.0
+            absres0 = absres
+            if pars.verbose:
+                print_itinfo(pars.stop_type, it, relres, absres, factor)
+            if not np.isfinite(absres):
+                break
+            info.ares, info.rres, info.nits = absres, relres, it
+            info.residuals.append(absres)
+            if relres < pars.tol:
+                break
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        return np.asarray(xd[:n]), info

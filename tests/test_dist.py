@@ -146,20 +146,62 @@ def test_ring_halo_spmv_matches_global():
     np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-14)
 
 
-def test_ring_halo_rejects_wide_band():
-    """Bands wider than the shard block raise instead of corrupting."""
+def test_ring_halo_wide_band_multihop():
+    """Bands wider than the shard block use multi-hop halos and still
+    match the global product."""
     import jax.numpy as jnp
-    import pytest as _pytest
     import amg_tpu as amg
     from amg_tpu.sparse import Dia
+    from amg_tpu.ops.spmv import spmv
     from amg_tpu.parallel import make_mesh
     from amg_tpu.parallel.halo import spmv_dia_ring
 
-    a = amg.poisson2d(8)  # 64 rows, offsets +/-8
-    d = Dia.from_csr(a, dtype=jnp.float64, pad_rows_to=64)
-    x = jnp.zeros(64)
-    mesh = make_mesh(8)  # blocks of 8 == band width 8 (ok), then force fail
-    a2 = amg.poisson2d(4)  # 16 rows, offsets +/-4, blocks of 2 < 4
-    d2 = Dia.from_csr(a2, dtype=jnp.float64, pad_rows_to=16)
-    with _pytest.raises(ValueError):
-        spmv_dia_ring(d2, jnp.zeros(16), mesh)
+    a = amg.poisson2d(4)  # 16 rows, offsets +/-4, blocks of 2 < 4
+    d = Dia.from_csr(a, dtype=jnp.float64, pad_rows_to=16)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(16))
+    y = np.asarray(spmv_dia_ring(d, x, make_mesh(8)))
+    want = np.asarray(spmv(d, x))
+    np.testing.assert_allclose(y, want, rtol=1e-13, atol=1e-14)
+
+
+def test_spmd_cycle_matches_single_device():
+    """The hand-placed shard_map cycle reproduces the single-device solve
+    (same iterations, same solution) on the emulated 8-device mesh."""
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.params import AMGParams, SmootherType
+    from amg_tpu.parallel import make_mesh
+    from amg_tpu.parallel.spmd_cycle import SpmdAMGSolver
+
+    a = amg.poisson3d(16)  # 4096 rows, embeds on a banded level-0
+    b = np.random.default_rng(29).standard_normal(a.n_rows)
+    pars = AMGParams(verbose=0, tol=1e-8,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    ref = amg.AMGSolver(a, pars, log=lambda *x: None)
+    x1, i1 = ref.solve(b)
+
+    mesh = make_mesh(8)
+    s = SpmdAMGSolver(a, pars, mesh=mesh, log=lambda *x: None)
+    assert s.E >= 1
+    x2, i2 = s.solve(b)
+    assert i2.rres < 1e-8
+    assert abs(i1.nits - i2.nits) <= 1
+    np.testing.assert_allclose(x2, x1, rtol=1e-8, atol=1e-10)
+
+
+def test_spmd_cycle_chebyshev_everywhere():
+    """shard_map cycle with Chebyshev on level 0 too (no GS masks)."""
+    import amg_tpu as amg
+    from amg_tpu.params import AMGParams, SmootherType
+    from amg_tpu.parallel import make_mesh
+    from amg_tpu.parallel.spmd_cycle import SpmdAMGSolver
+
+    a = amg.poisson2d(32)
+    b = np.ones(a.n_rows)
+    pars = AMGParams(verbose=0, smoother=SmootherType.CHEBYSHEV,
+                     max_it=60)
+    s = SpmdAMGSolver(a, pars, mesh=make_mesh(4), log=lambda *x: None)
+    x, info = s.solve(b)
+    assert info.rres < 1e-6
+    r = b - a.matvec(np.asarray(x, dtype=np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
