@@ -342,6 +342,10 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
                         clip_nb = nb_fit
 
         if perm is None:
+            if not _needs_groups(pars, True):
+                # no GS-family smoother on this level: the color-contiguous
+                # permutation (and the coloring itself) buys nothing
+                continue
             colors = color_graph(al)
             cf = hh.cfmark[l] if l < len(hh.cfmark) else None
             is_c = (
@@ -375,7 +379,7 @@ def clip_to_band(a: CSR, nb: int) -> CSR:
     cousin of :func:`sparsify_operator`, used when an RCM band slightly
     overshoots the BandedBlocks byte budget."""
     n = a.n_rows
-    rows = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
+    rows = a.row_indices
     cols = a.indices.astype(np.int64)
     keep = np.abs((cols >> 7) - (rows >> 7)) <= nb
     lump = np.bincount(rows[~keep], weights=a.data[~keep], minlength=n)
@@ -418,12 +422,11 @@ def _embed_csr(m: CSR, row_emb: np.ndarray, col_emb: np.ndarray,
         indptr[row_emb.astype(np.int64) + 1] = deg
         np.cumsum(indptr, out=indptr)
         return CSR(indptr, cols.astype(np.int32), m.data.copy(), (n0, n0))
-    rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), deg)
-    return CSR.from_coo(row_emb[rows], cols, m.data, (n0, n0))
+    return CSR.from_coo(row_emb[m.row_indices], cols, m.data, (n0, n0))
 
 
 def _num_offsets_embedded(m: CSR, row_emb, col_emb) -> int:
-    rows = np.repeat(np.arange(m.n_rows, dtype=np.int64), m.row_degrees)
+    rows = m.row_indices
     off = col_emb[m.indices.astype(np.int64)] - row_emb[rows]
     if len(off) == 0:
         return 0
@@ -609,9 +612,14 @@ def _embedded_level(
     l1_inv[rl[nz1]] = 1.0 / l1_c[nz1]
 
     cfmark = hh.cfmark[l] if l < len(hh.cfmark) else None
-    groups, group_cf, gid_c = build_groups(al, cfmark, pad_to=pad0)
-    gid = np.full(pad0, -1, dtype=np.int32)
-    gid[rl] = gid_c[:n]
+    if _needs_groups(pars, l >= 1):
+        groups, group_cf, gid_c = build_groups(al, cfmark, pad_to=pad0)
+        gid = np.full(pad0, -1, dtype=np.int32)
+        gid[rl] = gid_c[:n]
+        gid_dev = jnp.asarray(gid)
+    else:
+        group_cf = ()
+        gid_dev = None
 
     lvl_smoother = pars.smoother if (l == 0 or pars.coarse_smoother is None) \
         else pars.coarse_smoother
@@ -628,7 +636,7 @@ def _embedded_level(
         l1_inv=jnp.asarray(l1_inv.astype(np.dtype(dtype))),
         diag_mask=None,
         groups=None,
-        gid=jnp.asarray(gid),
+        gid=gid_dev,
         rho_dinv_a=jnp.asarray(rho, dtype=dtype),
         group_cf=tuple(int(t) for t in group_cf),
         ranges=None,
@@ -650,7 +658,7 @@ def sparsify_operator(a: CSR, threshold: float) -> CSR:
     """
     n = a.n_rows
     d = a.diagonal_fast()
-    rows = np.repeat(np.arange(n, dtype=np.int64), a.row_degrees)
+    rows = a.row_indices
     cols = a.indices.astype(np.int64)
     scale = np.sqrt(np.abs(d[rows]) * np.abs(d[cols]))
     keep = (rows == cols) | (np.abs(a.data) >= threshold * scale)
@@ -682,6 +690,22 @@ def _dia_blocked(nd: int, pad: int, dtype) -> bool:
         and nd >= pallas_dia.MIN_DIAGS
         and pad % pallas_dia.TILE == 0
         and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
+    )
+
+
+def _needs_groups(pars: AMGParams, is_coarse: bool) -> bool:
+    """GS update groups (graph coloring) are only consumed by the
+    GS-family smoothers; Chebyshev/Jacobi/L1 levels skip the coloring
+    entirely (the native greedy pass is O(nnz) — seconds per level at
+    10M rows)."""
+    from .params import SmootherType
+
+    sm = pars.smoother if (not is_coarse or pars.coarse_smoother is None) \
+        else pars.coarse_smoother
+    return sm in (
+        SmootherType.GS, SmootherType.SGS, SmootherType.SOR,
+        SmootherType.SSOR, SmootherType.GSOR, SmootherType.SGSOR,
+        SmootherType.CG,
     )
 
 
@@ -822,7 +846,9 @@ def _level_from_csr(
         # mark diagonal slots in the ELL layout (host-side numpy)
         row_ids = np.arange(a_dev.padded_rows)[:, None]
         diag_mask = jnp.asarray((ell_cols_np == row_ids) & (ell_vals_np != 0))
-    if gs_key is not None and n and np.all(np.diff(gs_key) >= 0):
+    if not _needs_groups(pars, is_coarse):
+        group_cf = ()
+    elif gs_key is not None and n and np.all(np.diff(gs_key) >= 0):
         # color-contiguous fast path: GS groups are static row ranges
         # (level permuted by reorder_for_gs); key = color*2 + is_C
         bnd = np.flatnonzero(np.diff(gs_key)) + 1

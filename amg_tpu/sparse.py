@@ -148,6 +148,19 @@ class CSR:
     def row_degrees(self) -> np.ndarray:
         return np.diff(self.indptr)
 
+    @property
+    def row_indices(self) -> np.ndarray:
+        """Row index per entry (``np.repeat`` over degrees), memoized —
+        the expansion costs ~seconds at 100M nnz and the setup phase asks
+        for it many times per level."""
+        r = getattr(self, "_row_idx_cache", None)
+        if r is None or len(r) != self.nnz:
+            r = np.repeat(
+                np.arange(self.n_rows, dtype=np.int64), self.row_degrees
+            )
+            self._row_idx_cache = r
+        return r
+
     # -- ops -----------------------------------------------------------------
 
     def diagonal(self) -> np.ndarray:
@@ -165,9 +178,7 @@ class CSR:
     def diagonal_fast(self) -> np.ndarray:
         """Vectorized diagonal extraction."""
         n = min(self.shape)
-        rows = np.repeat(
-            np.arange(self.n_rows, dtype=np.int64), self.row_degrees
-        )
+        rows = self.row_indices
         mask = (self.indices == rows) & (rows < n)
         diag = np.zeros(n, dtype=np.float64)
         diag[rows[mask]] = self.data[mask]
@@ -532,10 +543,14 @@ class Dia:
         and format selection calls this for every level)."""
         if a.nnz == 0:
             return 0
-        rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), a.row_degrees)
-        offs = a.indices.astype(np.int64) - rows
+        cached = getattr(a, "_num_offsets_cache", None)
+        if cached is not None and cached[0] == a.nnz:
+            return cached[1]
+        offs = a.indices.astype(np.int64) - a.row_indices
         lo = offs.min()
-        return int(np.count_nonzero(np.bincount(offs - lo)))
+        nd = int(np.count_nonzero(np.bincount(offs - lo)))
+        a._num_offsets_cache = (a.nnz, nd)
+        return nd
 
     @staticmethod
     def from_csr(
@@ -549,7 +564,7 @@ class Dia:
         pr = _round_up(max(n_rows, 1), row_multiple)
         if pad_rows_to is not None:
             pr = max(pr, pad_rows_to)
-        rows = np.repeat(np.arange(n_rows, dtype=np.int64), a.row_degrees)
+        rows = a.row_indices
         offs = a.indices.astype(np.int64) - rows
         if len(offs):
             # bincount + lookup table instead of sort-based unique/searchsorted
