@@ -121,6 +121,131 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
+                 interpret=False):
+    """Multi-rhs variant: the x window carries ``kb`` columns, the
+    operator values stream ONCE for all of them (the whole point of the
+    batched solver: SpMM-grade arithmetic intensity)."""
+    dtype = jnp.dtype(dtype_name)
+    vals_dtype = jnp.dtype(vals_dtype_name)
+    nd = len(offsets)
+    wrows = _window_rows(lo, hi)
+    ntiles = pad // TILE
+    i32 = jnp.int32
+
+    by_r: dict = {}
+    for k, off in enumerate(offsets):
+        q, r = divmod(lo + off, 128)
+        by_r.setdefault(r, []).append((k, q))
+
+    def kernel(xp_hbm, vals_ref, out_ref, xw, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[:, pl.ds(i * i32(_T128), i32(wrows))], xw, sem
+        )
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((kb, _T128, 128), dtype)
+        for r, items in by_r.items():
+            if r:
+                xs = jnp.concatenate(
+                    [xw[:, :-1, r:], xw[:, 1:, :r]], axis=2)
+            else:
+                xs = xw
+            for k, q in items:
+                v = vals_ref[k]
+                if vals_dtype != dtype:
+                    v = v.astype(dtype)
+                acc = acc + v[None] * xs[:, q:q + _T128]
+        out_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((kb, pad // 128, 128), dtype),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # (kb, W, 128) in HBM
+            pl.BlockSpec((nd, _T128, 128),
+                         lambda i: (i32(0), i, i32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb, _T128, 128),
+                               lambda i: (i32(0), i, i32(0)),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kb, wrows, 128), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * pad * kb,
+            bytes_accessed=(nd + 2 * kb) * pad * dtype.itemsize,
+            transcendentals=0,
+        ),
+        # XLA's scoped-vmem pass tries to park the (kb, pad) in/out
+        # tensors of this call in VMEM and trips its 16MB default at
+        # kb > 1; raise the cap so they stay streamable
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def spmv_multi(a, xb: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x for a batch: ``xb`` is (k, pad), returns (k, pad)."""
+    pad = a.padded_rows
+    kb = xb.shape[0]
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    wrows = _window_rows(lo, hi)
+    xp_len = (pad // TILE - 1) * TILE + wrows * 128
+    xp = jnp.pad(xb, ((0, 0), (lo, xp_len - lo - pad))).reshape(kb, -1, 128)
+    vals3 = a.vals if a.vals.ndim == 3 \
+        else a.vals.reshape(len(a.offsets), pad // 128, 128)
+    fn = _build_multi(tuple(a.offsets), pad, lo, hi, kb, str(xb.dtype),
+                      str(a.vals.dtype), interpret=interpret)
+    return fn(xp, vals3).reshape(kb, pad)
+
+
+def _multi_fits(a, kb, dtype) -> bool:
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    nd = len(a.offsets)
+    vmem = (
+        2 * nd * TILE * jnp.dtype(a.vals.dtype).itemsize
+        + 2 * kb * _window_rows(lo, hi) * 128 * jnp.dtype(dtype).itemsize
+        + kb * TILE * jnp.dtype(dtype).itemsize
+    )
+    return vmem <= _VMEM_BUDGET
+
+
+# --- vmap support ---------------------------------------------------------
+# Mosaic rejects the batched ANY-memspace x operand that jax.vmap would
+# synthesize, so batching (the multi-rhs solver) gets a custom rule: the
+# multi-rhs kernel when the batched window fits VMEM, else an unrolled
+# per-column loop.
+from jax import custom_batching as _custom_batching
+
+
+@_custom_batching.custom_vmap
+def _spmv_vmappable(a, x):
+    return spmv(a, x)
+
+
+@_spmv_vmappable.def_vmap
+def _spmv_vmap_rule(axis_size, in_batched, a, x):
+    a_batched, x_batched = in_batched
+    if any(jax.tree_util.tree_leaves(a_batched)):
+        raise NotImplementedError("batched DIA operators are not supported")
+    if not x_batched:
+        y = spmv(a, x)
+        return y, False
+    if _multi_fits(a, axis_size, x.dtype):
+        return spmv_multi(a, x), True
+    ys = [spmv(a, x[i]) for i in range(axis_size)]
+    return jnp.stack(ys), True
+
+
 def usable(a, x) -> bool:
     """Kernel applicability: TPU backend, wide band, tile-divisible pad,
     matching float dtype, VMEM fit."""

@@ -49,8 +49,10 @@ def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
 
     if pallas_dia.usable(a, x):
         # wide band: tiled Pallas kernel keeps the x window in VMEM
-        # (the shifted-slice formulation re-reads x once per diagonal)
-        return pallas_dia.spmv(a, x)
+        # (the shifted-slice formulation re-reads x once per diagonal).
+        # The custom-vmap wrapper makes this safe under jax.vmap (the
+        # batched multi-rhs solver).
+        return pallas_dia._spmv_vmappable(a, x)
 
     if a.vals.ndim == 3:
         # blocked (Pallas-native) storage on a non-Pallas path (CPU tests,

@@ -431,6 +431,70 @@ class AMGSolver:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
         return np.asarray(x[:n]), info
 
+    def solve_batched(self, bs, x0s=None, tol=None):
+        """Solve ``A X = B`` for many right-hand sides with ONE hierarchy.
+
+        ``bs``: (n, k) columns.  The cycle is ``jax.vmap``-ed over the
+        column axis, so every operator pass streams A once for all k
+        systems (SpMV becomes SpMM) — the production serving mode the
+        reference cannot express (its driver hard-wires one rhs,
+        amg/SSS_main.c:141-145).  Iterates until EVERY column meets
+        ``tol`` (default ``pars.tol``).  Returns ``(X, SolveInfo)`` with
+        ``info.rres`` the worst column.
+        """
+        pars = self.pars
+        tol = pars.tol if tol is None else tol
+        n = self.a.n_rows
+        bs = np.asarray(bs, dtype=self.dtype)
+        if bs.ndim != 2:
+            raise ValueError("bs must be (n, k)")
+        k = bs.shape[1]
+        bd = jnp.asarray(np.pad(bs[:n], ((0, self.pad - n), (0, 0))))
+        x0s = np.zeros((n, k), dtype=self.dtype) if x0s is None \
+            else np.asarray(x0s, dtype=self.dtype)
+        xd = jnp.asarray(np.pad(x0s[:n], ((0, self.pad - n), (0, 0))))
+
+        if getattr(self, "_batched_step_fn", None) is None or \
+                self._batched_k != k:
+            def _bstep(mg, x, b):
+                def one(xc, bc):
+                    xc = cycle(mg, xc, bc, pars)
+                    r = bc - spmv(mg.levels[0].a, xc)
+                    return xc, norm2(r)
+
+                return jax.vmap(one, in_axes=(1, 1), out_axes=(1, 0))(x, b)
+
+            self._batched_step_fn = jax.jit(_bstep)
+            self._batched_k = k
+
+        info = SolveInfo()
+        sumb = np.maximum(
+            np.linalg.norm(bs[:n], axis=0).astype(np.float64), 1e-300)
+        t0 = time.perf_counter()
+        nits = 0
+        for it in range(1, pars.max_it + 1):
+            xd, res_d = self._batched_step_fn(self.mg, xd, bd)
+            res = np.asarray(res_d, dtype=np.float64)
+            rel = res / sumb
+            nits = it
+            info.residuals.append(float(res.max()))
+            if not np.all(np.isfinite(res)):
+                if pars.verbose:
+                    self.log("### WARNING: batched residual diverged; "
+                             "stopping.")
+                break
+            if float(rel.max()) < tol:
+                break
+        info.nits = nits
+        info.ares = float(res.max())
+        info.rres = float(rel.max())
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        if pars.verbose:
+            self.log(f"AMG batched solve: k={k}, {nits} its, worst "
+                     f"relres {info.rres:g}, {info.solve_seconds:g} s")
+        return np.asarray(xd[:n]), info
+
     def solve_jit(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Fully-jitted solve (no per-iteration host sync)."""
         n = self.a.n_rows

@@ -703,3 +703,23 @@ def test_cli_anisotropic_spec():
     assert abs(d[0, 1] + 1.0) < 1e-12 or abs(d[0, 1] + 1e-3) < 1e-12
     a2 = load_matrix("anisotropic:8:0.5")
     assert a2.n_rows == 64
+
+
+def test_batched_solve_matches_single():
+    """solve_batched solves k systems with one hierarchy; each column
+    matches the single-rhs solve."""
+    a = amg.poisson3d(10)
+    rng_ = np.random.default_rng(31)
+    k = 5
+    B = rng_.standard_normal((a.n_rows, k))
+    s = amg.AMGSolver(a, AMGParams(verbose=0, tol=1e-8),
+                      log=lambda *x: None)
+    X, info = s.solve_batched(B)
+    assert info.rres < 1e-8
+    for j in range(k):
+        r = B[:, j] - a.matvec(X[:, j].astype(np.float64))
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-8
+    # column 0 equals the single solve at the same iteration count
+    x0, i0 = s.solve(B[:, 0])
+    r0 = B[:, 0] - a.matvec(x0)
+    assert np.linalg.norm(r0) / np.linalg.norm(B[:, 0]) < 1e-8

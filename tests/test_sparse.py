@@ -199,3 +199,25 @@ def test_banded_blocks_matches_csr():
     np.testing.assert_allclose(y[: a.n_rows], want, rtol=1e-13, atol=1e-13)
     assert y[a.n_rows:].size == 0 or np.abs(y[a.n_rows:]).max() == 0.0
     np.testing.assert_allclose(bb.to_csr().to_dense(), a.to_dense())
+
+
+def test_pallas_multi_rhs_interpret():
+    """The multi-rhs kernel (interpret mode) matches per-column SpMV,
+    both directly and through the custom-vmap rule."""
+    import jax
+    import jax.numpy as jnp
+    from amg_tpu.ops import pallas_dia
+    from amg_tpu.sparse import Dia
+    from amg_tpu.ops.spmv import spmv_dia
+
+    n = pallas_dia.TILE
+    offs = tuple(range(-48, 49, 3))
+    rng_ = np.random.default_rng(2)
+    vals = rng_.standard_normal((len(offs), n)).astype(np.float32)
+    d = Dia(jnp.asarray(vals), offs, (n, n), len(offs) * n)
+    k = 4
+    xb = jnp.asarray(rng_.standard_normal((k, n)).astype(np.float32))
+    ys = np.asarray(pallas_dia.spmv_multi(d, xb, interpret=True))
+    for j in range(k):
+        want = np.asarray(spmv_dia(d, xb[j]))
+        np.testing.assert_allclose(ys[j], want, rtol=2e-4, atol=1e-5)
