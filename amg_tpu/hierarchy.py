@@ -304,9 +304,13 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
 
         perm = None
         clip_nb = None
-        if banded_on and _pick_format(al, pars) == "ell" and l < nl - 1:
+        fmt_l = _pick_format(al, pars)
+        if banded_on and fmt_l in ("ell", "dense") and l < nl - 1:
             # try the block-banded MXU layout: RCM to shrink the block
-            # bandwidth, accept if the dense band fits the byte budget
+            # bandwidth, accept if the dense band fits the byte budget.
+            # For dense-eligible levels only switch when the band is
+            # clearly leaner than the full square (same exactness,
+            # proportionally less HBM traffic per apply).
             import scipy.sparse as sp
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -320,10 +324,14 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
             nb = BandedBlocks.block_bandwidth(al_rcm)
             nbr = _round_up(max(n, 1), 128) // 128
             band_bytes = nbr * (2 * nb + 1) * 128 * 128 * op_itemsize
-            if band_bytes <= pars.banded_level_bytes:
+            dense_bytes = (nbr * 128) ** 2 * op_itemsize
+            fits = band_bytes <= pars.banded_level_bytes and (
+                fmt_l == "ell" or 2 * band_bytes <= dense_bytes
+            )
+            if fits:
                 perm = rcm
                 hh.banded_nb[l] = nb
-            elif pars.banded_clip_frac > 0:
+            elif pars.banded_clip_frac > 0 and fmt_l == "ell":
                 # the band overshoots the budget: clip at the largest nb
                 # that fits and lump the out-of-band tail into the
                 # diagonal, if that tail is a small fraction of nnz
@@ -798,7 +806,7 @@ def _level_from_csr(
     from .params import SMALLFLOAT
 
     fmt = _pick_format(al, pars)
-    if banded_nb is not None and fmt == "ell":
+    if banded_nb is not None and fmt in ("ell", "dense"):
         fmt = "banded"
     op_dtype = dtype if (not is_coarse or pars.coarse_op_dtype == "same") \
         else jnp.dtype(pars.coarse_op_dtype)
