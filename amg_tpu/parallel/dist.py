@@ -139,6 +139,11 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
         if m is None:
             return None
         if isinstance(m, Dia):
+            if m.vals.ndim == 3:  # blocked layout: rows live on axis 1
+                vals = jax.device_put(
+                    m.vals, NamedSharding(mesh, P(None, "x", None))
+                )
+                return Dia(vals, m.offsets, m.shape, m.nnz)
             d = _pad_dia_multiple(m, ndev)
             vals = jax.device_put(
                 d.vals, NamedSharding(mesh, P(None, "x"))

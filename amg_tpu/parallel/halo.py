@@ -52,7 +52,11 @@ def dia_spmv_local(offsets, vals_local: jnp.ndarray, xw: jnp.ndarray,
     """
     from ..ops import pallas_dia
 
-    nd, m = vals_local.shape
+    if vals_local.ndim == 3:  # blocked (Pallas-native) storage
+        nd, mb, _ = vals_local.shape
+        m = mb * 128
+    else:
+        nd, m = vals_local.shape
     lo, hi = dia_halo_widths(offsets)
     d_loc = Dia(vals_local, tuple(offsets), (m, m), nd * m)
     use_pallas = (
@@ -65,10 +69,11 @@ def dia_spmv_local(offsets, vals_local: jnp.ndarray, xw: jnp.ndarray,
     )
     if use_pallas:
         return pallas_dia.spmv_window(d_loc, xw)
+    v2 = d_loc.vals2d
     acc = jnp.zeros((m,), xw.dtype)
     for k, off in enumerate(offsets):
         s = lo + off
-        acc = acc + vals_local[k] * jax.lax.slice(xw, (s,), (s + m,))
+        acc = acc + v2[k] * jax.lax.slice(xw, (s,), (s + m,))
     return acc
 
 
@@ -145,7 +150,7 @@ def spmv_dia_ring(d: Dia, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
     length ``padded_rows``.  ``padded_rows`` must divide evenly by the
     mesh size (re-pad with :func:`dist._pad_dia_multiple` first).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
                             if a == axis]))
@@ -153,11 +158,13 @@ def spmv_dia_ring(d: Dia, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
     if pad % n_shards != 0:
         raise ValueError(f"padded_rows {pad} not divisible by {n_shards}")
 
+    vals_spec = P(None, axis, None) if d.vals.ndim == 3 else P(None, axis)
     fn = shard_map(
         partial(dia_spmv_ring_local, tuple(d.offsets), n_shards, axis,
                 interpret=interpret),
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis)),
+        in_specs=(vals_spec, P(axis)),
         out_specs=P(axis),
+        check_vma=False,
     )
     return fn(d.vals, x)

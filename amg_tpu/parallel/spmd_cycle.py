@@ -48,7 +48,11 @@ def _mat_specs(m, row_sharded: bool, axis: str):
     if m is None:
         return None
     if isinstance(m, Dia):
-        spec = P(None, axis) if row_sharded else P()
+        if row_sharded:
+            spec = (P(None, axis, None) if m.vals.ndim == 3
+                    else P(None, axis))
+        else:
+            spec = P()
         return Dia(spec, m.offsets, m.shape, m.nnz)
     if isinstance(m, Ell):
         s = P(axis) if row_sharded else P()
@@ -319,7 +323,7 @@ class SpmdAMGSolver:
                                   replicate_from_level=self.E + 1)
         self.dtype = jnp.dtype(pars.dtype)
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         specs = hierarchy_specs(self.mg, self.E, self.axis)
         axis, ndev, m_local, E = self.axis, self.ndev, self.m_local, self.E
@@ -337,6 +341,9 @@ class SpmdAMGSolver:
                 mesh=self.mesh,
                 in_specs=(specs, P(self.axis), P(self.axis)),
                 out_specs=(P(self.axis), P()),
+                # pallas_call inside shard_map cannot declare how its
+                # outputs vary across mesh axes; skip the vma check
+                check_vma=False,
             )
         )
         self._shard_vector = lambda v: shard_vector(v, self.mesh)
