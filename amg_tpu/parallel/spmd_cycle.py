@@ -374,19 +374,35 @@ class SpmdAMGSolver:
         if sumb == 0.0:
             return np.zeros(n), info
         absres0 = sumb
+        # quiet mode batches residual fetches (a device->host sync costs
+        # tens of ms through the remote-execution relay)
+        check_every = 1 if pars.verbose else 4
+        pending = []
+        stop = False
         for it in range(1, pars.max_it + 1):
             xd, absres_d = self._step_fn(self.mg, xd, bd)
-            absres = float(absres_d)
-            relres = absres / sumb
-            factor = absres / absres0 if absres0 > 0 else 0.0
-            absres0 = absres
-            if pars.verbose:
-                print_itinfo(pars.stop_type, it, relres, absres, factor)
-            if not np.isfinite(absres):
-                break
-            info.ares, info.rres, info.nits = absres, relres, it
-            info.residuals.append(absres)
-            if relres < pars.tol:
+            pending.append((it, xd, absres_d))
+            if len(pending) >= check_every or it == pars.max_it:
+                vals = np.asarray(jnp.stack([r for _, _, r in pending]))
+                for (it_i, x_i, _), absres in zip(pending, vals):
+                    absres = float(absres)
+                    relres = absres / sumb
+                    factor = absres / absres0 if absres0 > 0 else 0.0
+                    absres0 = absres
+                    if pars.verbose:
+                        print_itinfo(pars.stop_type, it_i, relres, absres,
+                                     factor)
+                    if not np.isfinite(absres):
+                        stop = True
+                        break
+                    info.ares, info.rres, info.nits = absres, relres, it_i
+                    info.residuals.append(absres)
+                    xd = x_i
+                    if relres < pars.tol:
+                        stop = True
+                        break
+                pending = []
+            if stop:
                 break
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
