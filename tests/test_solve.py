@@ -723,3 +723,39 @@ def test_batched_solve_matches_single():
     x0, i0 = s.solve(B[:, 0])
     r0 = B[:, 0] - a.matvec(x0)
     assert np.linalg.norm(r0) / np.linalg.norm(B[:, 0]) < 1e-8
+
+
+def test_tiny_matrix_single_level():
+    """Matrices at or below coarse_dof solve via the dense coarsest path
+    (single-level hierarchy, no coarsening)."""
+    rng_ = np.random.default_rng(41)
+    n = 9  # < MIN_CDOF=10
+    d = np.diag(np.arange(2.0, 2.0 + n)) + 0.1 * rng_.standard_normal((n, n))
+    d = (d + d.T) / 2 + n * np.eye(n)
+    a = CSR.from_dense(d)
+    s = amg.AMGSolver(a, AMGParams(verbose=0), log=lambda *x: None)
+    assert s.host_hierarchy.num_levels == 1
+    b = rng_.standard_normal(n)
+    x, info = s.solve(b)
+    np.testing.assert_allclose(d @ x, b, rtol=1e-8, atol=1e-10)
+
+
+def test_zero_diagonal_row_guard():
+    """Rows with (near-)zero diagonal keep their old value in GS instead
+    of dividing by zero (reference small-diag guard,
+    amg/Solve/SSS_smooth.c:30)."""
+    import jax.numpy as jnp
+    from amg_tpu.solve.smoothers import smooth
+
+    a = amg.poisson2d(6)
+    d = a.to_dense()
+    d[7, 7] = 0.0  # break one diagonal
+    a2 = CSR.from_dense(d)
+    level = _mk_level(a2)
+    pars = AMGParams()
+    n = a2.n_rows
+    x = jnp.asarray(np.pad(np.ones(n), (0, level.pad - n)))
+    b = jnp.asarray(np.zeros(level.pad))
+    y = np.asarray(smooth(level, x, b, pars, 1, pre=True))
+    assert np.all(np.isfinite(y))
+    assert y[7] == 1.0  # untouched row
