@@ -89,11 +89,13 @@ def main():
     accel = os.environ.get("AMG_BENCH_ACCEL",
                            "cg" if n_side >= 128 else "none")
     embed_bytes = float(os.environ.get("AMG_BENCH_EMBED_BYTES", "6e9"))
-    sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.01"))
+    sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.005"))
+    sparsify_from = int(os.environ.get("AMG_BENCH_SPARSIFY_FROM", "2"))
     banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "2.5e9"))
     pars = amg.AMGParams(
         embed_max_bytes=embed_bytes,
         coarse_sparsify=sparsify,
+        sparsify_from_level=sparsify_from,
         banded_level_bytes=banded_bytes,
         tol=tol,
         dtype=dtype,
@@ -117,7 +119,10 @@ def main():
         key = (f"n{n_side}_st{pars.strong_threshold}_tt{pars.trunc_threshold}"
                f"_cs{int(pars.cs_type)}_it{int(pars.interp_type)}"
                + (f"_sp{pars.coarse_sparsify}" if pars.coarse_sparsify
-                  else ""))
+                  else "")
+               + (f"_sf{pars.sparsify_from_level}"
+                  if pars.coarse_sparsify
+                  and pars.sparsify_from_level != 3 else ""))
         cache_path = f"/tmp/amg_bench_hier_{key}.npz"
         if os.path.exists(cache_path):
             t0 = time.perf_counter()
