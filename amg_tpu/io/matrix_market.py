@@ -19,10 +19,33 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import warnings
 
 import numpy as np
 
 from ..sparse import CSR
+
+
+def _parse_tokens(body: str, ncols: int, path) -> np.ndarray:
+    """Parse a whitespace-separated numeric body into an (n, ncols) array.
+
+    Fast path is ``np.fromstring(sep=' ')`` (C tokenizer, ~6x faster than
+    ``np.loadtxt`` — the reference's two-pass fscanf parser analog,
+    amg/mmio_highlevel.h:144-305); falls back to ``np.loadtxt`` for exotic
+    numeric formats.
+    """
+    if not body.strip():
+        return np.zeros((0, ncols), dtype=np.float64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        raw = np.fromstring(body, dtype=np.float64, sep=" ")
+    if raw.size == 0 or raw.size % ncols:
+        raw = np.loadtxt(_io.StringIO(body), dtype=np.float64, ndmin=2)
+        if raw.size and raw.shape[1] != ncols:
+            raise MatrixMarketError(
+                f"{path}: coordinate rows must have {ncols} fields")
+        return raw
+    return raw.reshape(-1, ncols)
 
 _VALID_FIELDS = {"real", "integer", "pattern", "complex"}
 _VALID_SYMMETRIES = {"general", "symmetric", "skew-symmetric", "hermitian"}
@@ -73,26 +96,19 @@ def read_mtx(path) -> CSR:
         body = f.read()
 
     if field == "pattern":
-        raw = np.fromstring if False else np.loadtxt(
-            _io.StringIO(body), dtype=np.int64, ndmin=2
-        ) if body.strip() else np.zeros((0, 2), dtype=np.int64)
-        if raw.size and raw.shape[1] != 2:
-            raise MatrixMarketError(f"{path}: pattern rows must have 2 fields")
-        rows = raw[:, 0] - 1 if raw.size else np.zeros(0, np.int64)
-        cols = raw[:, 1] - 1 if raw.size else np.zeros(0, np.int64)
+        raw = _parse_tokens(body, 2, path)
+        rows = raw[:, 0].astype(np.int64) - 1
+        cols = raw[:, 1].astype(np.int64) - 1
         vals = np.ones(len(rows), dtype=np.float64)
     elif field == "complex":
-        raw = np.loadtxt(_io.StringIO(body), dtype=np.float64, ndmin=2)
+        raw = _parse_tokens(body, 4, path)
         rows = raw[:, 0].astype(np.int64) - 1
         cols = raw[:, 1].astype(np.int64) - 1
         vals = raw[:, 2]  # real part only, as the reference does
     else:
-        raw = np.loadtxt(_io.StringIO(body), dtype=np.float64, ndmin=2) \
-            if body.strip() else np.zeros((0, 3))
-        if raw.size and raw.shape[1] < 3:
-            raise MatrixMarketError(f"{path}: coordinate rows must have 3 fields")
-        rows = raw[:, 0].astype(np.int64) - 1 if raw.size else np.zeros(0, np.int64)
-        cols = raw[:, 1].astype(np.int64) - 1 if raw.size else np.zeros(0, np.int64)
+        raw = _parse_tokens(body, 3, path)
+        rows = raw[:, 0].astype(np.int64) - 1
+        cols = raw[:, 1].astype(np.int64) - 1
         vals = raw[:, 2] if raw.size else np.zeros(0)
 
     if len(rows) != nnz:
@@ -141,5 +157,5 @@ def write_mtx(path, a: CSR, comment: str = "generated by amg_tpu") -> None:
         for line in comment.splitlines():
             f.write(f"% {line}\n")
         f.write(f"{a.n_rows} {a.n_cols} {a.nnz}\n")
-        for r, c, v in zip(rows, a.indices, a.data):
-            f.write(f"{r + 1} {c + 1} {v:.17g}\n")
+        np.savetxt(f, np.column_stack([rows + 1, a.indices + 1, a.data]),
+                   fmt="%d %d %.17g")

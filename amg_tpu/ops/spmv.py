@@ -142,21 +142,7 @@ def spmv_n(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
     return spmv(a, x)[: a.n_rows]
 
 
-def amxpy(alpha, a: Ell, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """y + alpha * A @ x (reference SSS_blas_mv_amxpy, amg/SSS_utils.c:161)."""
-    return y + alpha * spmv(a, x)[: y.shape[0]]
-
-
 def residual(a: Ell, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """r = b - A @ x."""
+    """r = b - A @ x (reference ``SSS_blas_mv_amxpy`` with alpha=-1 as used
+    by the outer loop, amg/Solve/SSS_SOLVE.c:59-60)."""
     return b - spmv(a, x)[: b.shape[0]]
-
-
-def spmv_offdiag_and_diag(a: Ell, x: jnp.ndarray, diag_mask: jnp.ndarray):
-    """Split product used by smoothers: returns (offdiag @ x, unchanged x).
-
-    ``diag_mask`` is a precomputed (pr, w) boolean marking diagonal slots.
-    """
-    gathered = x[a.cols]
-    vals = jnp.where(diag_mask, 0.0, a.vals)
-    return jnp.sum(vals * gathered, axis=1)

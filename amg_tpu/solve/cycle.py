@@ -35,8 +35,14 @@ def coarsest_solve(mg: Hierarchy, b: jnp.ndarray, pars: AMGParams, ctol):
     maxit = max(250, min(n * n, 1000))
     x0 = jnp.zeros_like(b)
     x, ok = cg(level.a, b, x0, tol=ctol, maxit=maxit)
-    xg, _ = gmres(level.a, b, x0, tol=ctol, maxit=maxit, restart=30)
-    return jnp.where(ok, x, xg)
+    # GMRES fallback runs ONLY when CG failed (amg/Solve/SSS_cycle.cu:837-841)
+    import jax
+
+    def _fallback(_):
+        xg, _ok = gmres(level.a, b, x0, tol=ctol, maxit=maxit, restart=30)
+        return xg
+
+    return jax.lax.cond(ok, lambda _: x, _fallback, operand=None)
 
 
 def cycle(mg: Hierarchy, x: jnp.ndarray, b: jnp.ndarray, pars: AMGParams):

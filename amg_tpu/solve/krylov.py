@@ -22,10 +22,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..params import SMALLFLOAT
+from ..params import SMALLFLOAT, MAX_STAG, MAX_RESTART, ErrorCode
 from ..sparse import Ell, Dia, Dense, BandedBlocks
 from ..ops.spmv import spmv
-from ..ops.blas import dot, norm2
+from ..ops.blas import dot, norm2, norminf
+
+_SMALLFLOAT2 = 1e-40  # breakdown tolerance (reference SMALLFLOAT2)
+
+# status values for the CG state machine (loop-carried scalar)
+_RUNNING = 0
+_CONVERGED = 1
+_BREAKDOWN = 2
 
 
 def _as_op(a):
@@ -35,8 +42,8 @@ def _as_op(a):
 
 
 def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None,
-       stop_type=None):
-    """Conjugate gradients. Returns ``(x, converged)``.
+       stop_type=None, return_info=False):
+    """Conjugate gradients with the reference's full safety-net state machine.
 
     ``a`` is an :class:`Ell` or a matvec callable; ``M`` an optional
     preconditioner callable (z = M(r)).  ``stop_type`` replicates the
@@ -45,12 +52,36 @@ def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None,
     * ``REL_RES`` (default): ``||r|| / max(eps, ||r0||) < tol``
     * ``REL_PRECRES``: ``sqrt(r.z) / sqrt(r0.z0) < tol`` (B-norm)
     * ``MOD_REL_RES``: ``||r|| / max(eps, ||x||) < tol``
+
+    Safety nets, expressed as loop-carried scalar state so the whole loop
+    stays one ``lax.while_loop`` (reference amg/Solve/SSS_cycle.cu:238-355):
+
+    * best-solution tracking and final restore (:238-242, :381-419);
+    * Check I — near-zero solution => ``ERROR_SOLVER_SOLSTAG`` (:245-249);
+    * Check II — stagnation (``|alpha| ||p|| / ||x|| < tol*1e-4``):
+      recompute the *true* residual ``b - A x``; accept if converged, else
+      restart with ``p = 0`` up to ``MAX_STAG`` times, then
+      ``ERROR_SOLVER_STAG`` (:252-308);
+    * Check III — false convergence: when the recurrence residual passes
+      ``tol``, verify against the recomputed true residual before
+      accepting; on failure restart up to ``MAX_RESTART`` times, then
+      ``ERROR_SOLVER_TOLSMALL`` (:311-355).
+
+    The true-residual recompute runs under ``lax.cond`` so the extra SpMV
+    is only paid on iterations that trigger a check.
+
+    Returns ``(x, converged)``, or ``(x, converged, info)`` with
+    ``return_info`` where ``info = (status_code, iters)`` and
+    ``status_code`` is 1 on convergence, ``ErrorCode.ERROR_SOLVER_*`` on a
+    safety-net exit, 0 when ``maxit`` was exhausted.
     """
     from ..params import StopType
 
     amul = _as_op(a)
     prec = M if M is not None else (lambda v: v)
     st = StopType.REL_RES if stop_type is None else stop_type
+    maxdiff = tol * 1e-4            # stagnation tolerance (reference :27)
+    sol_inf_tol = SMALLFLOAT        # Check-I tolerance (reference :28)
 
     r0 = b - amul(x0)
     z0 = prec(r0)
@@ -59,43 +90,105 @@ def cg(a, b, x0, tol=1e-7, maxit=250, M=None, axis_name=None,
     rho0 = dot(z0, r0, axis_name)
     prec0 = jnp.maximum(SMALLFLOAT, jnp.sqrt(jnp.abs(rho0)))
 
-    def _ratio(x, r, rho):
+    def _absres(x, r, z):
         if st == StopType.REL_PRECRES:
-            return jnp.sqrt(jnp.abs(rho)) / prec0
+            return jnp.sqrt(jnp.abs(dot(z, r, axis_name)))
+        return norm2(r, axis_name)
+
+    def _relres(x, absres):
         if st == StopType.MOD_REL_RES:
-            return norm2(r, axis_name) / jnp.maximum(
-                SMALLFLOAT, norm2(x, axis_name))
-        return norm2(r, axis_name) / normr0
+            return absres / jnp.maximum(SMALLFLOAT, norm2(x, axis_name))
+        return absres / normr0
 
     def cond(c):
-        x, r, z, p, rho, it, absres, best_x, best_res = c
-        return (it < maxit) & (_ratio(x, r, rho) >= tol) & (rho != 0.0)
+        (x, r, z, p, rho, it, best_x, best_res, stag, more_step,
+         status) = c
+        return (status == _RUNNING) & (it < maxit)
 
     def body(c):
-        x, r, z, p, rho, it, absres, best_x, best_res = c
+        (x, r, z, p, rho, it, best_x, best_res, stag, more_step,
+         status) = c
         t = amul(p)
         denom = dot(p, t, axis_name)
-        alpha = jnp.where(denom != 0, rho / jnp.where(denom != 0, denom, 1.0), 0.0)
+        breakdown = jnp.abs(denom) <= _SMALLFLOAT2
+        alpha = jnp.where(breakdown, 0.0,
+                          rho / jnp.where(breakdown, 1.0, denom))
         x = x + alpha * p
         r = r - alpha * t
-        z = prec(r)
-        rho_new = dot(z, r, axis_name)
-        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0), 0.0)
-        p = z + beta * p
-        absres = norm2(r, axis_name)
-        better = absres < best_res
+        zr = prec(r)
+        absres = _absres(x, r, zr)
+        relres = _relres(x, absres)
+
+        # best-solution tracking (reference :238-242)
+        better = absres < best_res - maxdiff
         best_x = jnp.where(better, x, best_x)
         best_res = jnp.where(better, absres, best_res)
-        return (x, r, z, p, rho_new, it + 1, absres, best_x, best_res)
 
-    init = (x0, r0, z0, z0, rho0, jnp.zeros((), jnp.int32), absres0, x0, absres0)
-    x, r, z, p, rho, it, absres, best_x, best_res = jax.lax.while_loop(
-        cond, body, init
-    )
-    converged = _ratio(x, r, rho) < tol
-    # restore best solution when the final iterate diverged
-    # (reference best-solution net, amg/Solve/SSS_cycle.cu:381-419)
-    x = jnp.where(absres <= best_res, x, best_x)
+        # Check I: solution close to zero (reference :245-249)
+        sol_stag = norminf(x, axis_name) <= sol_inf_tol
+
+        # Check II trigger: stagnation (reference :252-256)
+        normu = jnp.maximum(SMALLFLOAT, norm2(x, axis_name))
+        reldiff = jnp.abs(alpha) * norm2(p, axis_name) / normu
+        stag_trig = (stag <= MAX_STAG) & (reldiff < maxdiff)
+
+        # Check III trigger: recurrence says converged (reference :311).
+        # Both checks re-verify against the TRUE residual b - A x; compute
+        # it once under lax.cond so untriggered iterations skip the SpMV.
+        conv_trig = relres < tol
+        need_true = (stag_trig | conv_trig) & ~breakdown & ~sol_stag
+        r_true = jax.lax.cond(need_true, lambda: b - amul(x), lambda: r)
+        z_true = prec(r_true)
+        abs_true = _absres(x, r_true, z_true)
+        rel_true = _relres(x, abs_true)
+
+        verified = need_true & (rel_true < tol)
+        stag_fail = stag_trig & ~verified & (stag >= MAX_STAG)
+        stag_restart = stag_trig & ~verified & (stag < MAX_STAG)
+        false_conv = conv_trig & ~stag_trig & ~verified
+        tol_fail = false_conv & (more_step >= MAX_RESTART)
+        restart = (stag_restart | (false_conv & ~tol_fail)) & ~breakdown
+
+        # adopt the recomputed residual when it was computed (reference
+        # overwrites r in place at :258-260, :313-315)
+        r = jnp.where(need_true, r_true, r)
+        zr = jnp.where(need_true, z_true, zr)
+
+        # priority: breakdown > converged > Check I > Check II fail >
+        # Check III fail > keep running
+        status = jnp.where(
+            breakdown, _BREAKDOWN,
+            jnp.where(
+                verified, _CONVERGED,
+                jnp.where(
+                    sol_stag, int(ErrorCode.ERROR_SOLVER_SOLSTAG),
+                    jnp.where(
+                        stag_fail, int(ErrorCode.ERROR_SOLVER_STAG),
+                        jnp.where(tol_fail,
+                                  int(ErrorCode.ERROR_SOLVER_TOLSMALL),
+                                  _RUNNING))))).astype(jnp.int32)
+
+        rho_new = dot(zr, r, axis_name)
+        beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
+                         0.0)
+        p = jnp.where(restart, 0.0, 1.0) * p * beta + zr
+        stag = stag + jnp.where(stag_restart, 1, 0)
+        more_step = more_step + jnp.where(false_conv & ~tol_fail, 1, 0)
+        return (x, r, zr, p, rho_new, it + 1, best_x, best_res, stag,
+                more_step, status)
+
+    one = jnp.ones((), jnp.int32)
+    init = (x0, r0, z0, z0, rho0, jnp.zeros((), jnp.int32), x0, absres0,
+            one, one, jnp.full((), _RUNNING, jnp.int32))
+    (x, r, z, p, rho, it, best_x, best_res, stag, more_step,
+     status) = jax.lax.while_loop(cond, body, init)
+    converged = status == _CONVERGED
+    # restore best solution when the final iterate is worse (reference
+    # best-solution net, amg/Solve/SSS_cycle.cu:381-419)
+    absres = _absres(x, r, z)
+    x = jnp.where(absres <= best_res + maxdiff, x, best_x)
+    if return_info:
+        return x, converged, (status, it)
     return x, converged
 
 

@@ -221,3 +221,20 @@ def test_pallas_multi_rhs_interpret():
     for j in range(k):
         want = np.asarray(spmv_dia(d, xb[j]))
         np.testing.assert_allclose(ys[j], want, rtol=2e-4, atol=1e-5)
+
+
+def test_blas1_matches_numpy(rng):
+    """BLAS-1 surface (reference SSS_blas_array_*, amg/SSS_utils.c:151-260)."""
+    import jax.numpy as jnp
+    from amg_tpu.ops.blas import dot, norm2, norminf, axpy, axpby
+
+    x = rng.standard_normal(97)
+    y = rng.standard_normal(97)
+    jx, jy = jnp.asarray(x), jnp.asarray(y)
+    np.testing.assert_allclose(float(dot(jx, jy)), x @ y, rtol=1e-12)
+    np.testing.assert_allclose(float(norm2(jx)), np.linalg.norm(x), rtol=1e-12)
+    np.testing.assert_allclose(float(norminf(jx)), np.abs(x).max(), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(axpy(0.7, jx, jy)), 0.7 * x + y,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(axpby(0.3, jx, -1.2, jy)),
+                               0.3 * x - 1.2 * y, rtol=1e-12)
