@@ -20,6 +20,7 @@ Replaces the reference's thread-per-row CSR CUDA kernel
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -51,14 +52,27 @@ def _window_rows(lo: int, hi: int) -> int:
     return w // 128
 
 
+# bf16-multiply mode for mixed bf16-values/f32-x kernels: convert the x
+# window to bf16 ONCE per lane-remainder group and multiply in bf16 with
+# f32 accumulation, instead of up-converting every one of the nd value
+# planes (the convert was measured compute-bound at nd~200, ROADMAP).
+# "1" = on, "0" = off; the numerics difference is one bf16 rounding of
+# each product term — the operator values are already bf16-quantized.
+_BF16_MUL = os.environ.get("AMG_DIA_BF16_MUL", "1") == "1"
+
+
 @functools.lru_cache(maxsize=None)
 def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
-           interpret=False):
+           interpret=False, bf16_mul=None):
     dtype = jnp.dtype(dtype_name)
     vals_dtype = jnp.dtype(vals_dtype_name)
     nd = len(offsets)
     wrows = _window_rows(lo, hi)
     ntiles = pad // TILE
+    if bf16_mul is None:
+        bf16_mul = _BF16_MUL
+    bf16_mul = (bf16_mul and vals_dtype == jnp.bfloat16
+                and dtype == jnp.float32)
 
     # everything index-typed as i32: the library enables jax x64 globally,
     # and i64 scalars fail Mosaic lowering
@@ -88,9 +102,14 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
             if r:
                 xs = jnp.concatenate([xw[:-1, r:], xw[1:, :r]], axis=1)
             else:
-                xs = xw
+                xs = xw[...] if bf16_mul else xw
+            if bf16_mul:
+                xs = xs.astype(jnp.bfloat16)
             for k, q in items:
                 v = vals_ref[k]
+                if bf16_mul:
+                    acc = acc + (v * xs[q:q + _T128]).astype(dtype)
+                    continue
                 if vals_dtype != dtype:
                     v = v.astype(dtype)
                 acc = acc + v * xs[q:q + _T128]
@@ -101,7 +120,7 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
         out_shape=jax.ShapeDtypeStruct((pad // 128, 128), dtype),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # padded x2d in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # padded x2d in HBM
             pl.BlockSpec((nd, _T128, 128),
                          lambda i: (i32(0), i, i32(0)),
                          memory_space=pltpu.VMEM),      # vals tile
@@ -133,6 +152,8 @@ def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
     wrows = _window_rows(lo, hi)
     ntiles = pad // TILE
     i32 = jnp.int32
+    bf16_mul = (_BF16_MUL and vals_dtype == jnp.bfloat16
+                and dtype == jnp.float32)
 
     by_r: dict = {}
     for k, off in enumerate(offsets):
@@ -152,9 +173,14 @@ def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
                 xs = jnp.concatenate(
                     [xw[:, :-1, r:], xw[:, 1:, :r]], axis=2)
             else:
-                xs = xw
+                xs = xw[...] if bf16_mul else xw
+            if bf16_mul:
+                xs = xs.astype(jnp.bfloat16)
             for k, q in items:
                 v = vals_ref[k]
+                if bf16_mul:
+                    acc = acc + (v[None] * xs[:, q:q + _T128]).astype(dtype)
+                    continue
                 if vals_dtype != dtype:
                     v = v.astype(dtype)
                 acc = acc + v[None] * xs[:, q:q + _T128]
@@ -165,7 +191,7 @@ def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
         out_shape=jax.ShapeDtypeStruct((kb, pad // 128, 128), dtype),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # (kb, W, 128) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # (kb, W, 128) in HBM
             pl.BlockSpec((nd, _T128, 128),
                          lambda i: (i32(0), i, i32(0)),
                          memory_space=pltpu.VMEM),

@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hierarchy import Hierarchy, Level
 from ..params import AMGParams
-from ..sparse import Ell, Dia, Dense
+from ..sparse import Ell, Dia, Dense, BandedBlocks
+from .multihost import fetch
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -110,6 +111,8 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
                 return Dia(put(m.vals), m.offsets, m.shape, m.nnz)
             if isinstance(m, Dense):
                 return Dense(put(m.vals), m.shape, m.nnz)
+            if isinstance(m, BandedBlocks):
+                return BandedBlocks(put(m.vals), m.nb, m.shape, m.nnz)
             return Ell(put(m.cols), put(m.vals), m.shape, m.nnz)
 
         return Level(
@@ -157,6 +160,16 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
                 vals = jnp.pad(vals, ((0, target - pr), (0, 0)))
             vals = jax.device_put(vals, _row_sharding(mesh, 2))
             return Dense(vals, m.shape, m.nnz)
+        if isinstance(m, BandedBlocks):
+            # block rows (axis 0) row-sharded when they divide evenly (the
+            # static shifted x slices in spmv_banded become XLA
+            # collective-permutes between neighboring shards); growing nbr
+            # would desync padded_rows from the level vectors, so odd
+            # sizes replicate instead
+            nbr = m.vals.shape[0]
+            spec = P("x", None, None, None) if nbr % ndev == 0 else P()
+            vals = jax.device_put(m.vals, NamedSharding(mesh, spec))
+            return BandedBlocks(vals, m.nb, m.shape, m.nnz)
         e = _pad_rows_multiple(m, ndev)
         return Ell(
             jax.device_put(e.cols, _row_sharding(mesh, 2)),
@@ -248,9 +261,6 @@ class DistAMGSolver:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.ndev = int(np.prod(list(self.mesh.shape.values())))
         self.a = a
-        # BandedBlocks has no sharding path yet; row-sharded ELL covers
-        # the distributed case
-        pars = pars.replace(use_banded="off")
         self.pars = pars
         mg, hh = setup(a, pars, log=log)
         self.host_hierarchy = hh
@@ -362,7 +372,7 @@ class DistAMGSolver:
                 break
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
-        return np.asarray(x_hi[:n]), info
+        return fetch(x_hi)[:n], info
 
     def solve(self, b, x0=None):
         from ..params import SolveInfo
@@ -399,4 +409,4 @@ class DistAMGSolver:
                 break
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
-        return np.asarray(xd[:n]), info
+        return fetch(xd)[:n], info

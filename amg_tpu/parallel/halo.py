@@ -77,15 +77,15 @@ def dia_spmv_local(offsets, vals_local: jnp.ndarray, xw: jnp.ndarray,
     return acc
 
 
-def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
-                        vals_local: jnp.ndarray, x_local: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
-    """One shard's y = (A x)_local with neighbor halo exchange.
+def _ring_halos(offsets, n_shards: int, axis_name: str,
+                x_local: jnp.ndarray):
+    """Left/right halo slabs for this shard via neighbor ``ppermute`` s.
 
-    Call INSIDE shard_map.  Halos wider than one shard block take
-    multiple hops (j-distance ``ppermute`` per neighbor ring); edge
-    shards receive zeros (no wrap-around: out-of-range band positions
-    are zero), which is exactly the global operator's boundary behavior.
+    Halos wider than one shard block take multiple hops (j-distance
+    ``ppermute`` per neighbor ring); edge shards receive zeros (no
+    wrap-around: out-of-range band positions are zero), which is exactly
+    the global operator's boundary behavior.  Returns ``(left, right)``
+    with shapes ``(lo,)`` / ``(hi,)`` (``None`` when the width is 0).
     """
     lo, hi = dia_halo_widths(offsets)
     m = x_local.shape[0]
@@ -96,7 +96,7 @@ def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
         # clamp the hop count (the extra band positions read zeros)
         k_lo = min(k_lo, n_shards - 1)
         k_hi = min(k_hi, n_shards - 1)
-    parts = []
+    left = right = None
     if lo:
         blocks = [
             jax.lax.ppermute(
@@ -116,8 +116,6 @@ def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
                 # hop count clamped at the mesh edge: missing blocks zero
                 left = jnp.concatenate(
                     [jnp.zeros((lo - want,), x_local.dtype), left])
-        parts.append(left)
-    parts.append(x_local)
     if hi:
         blocks = [
             jax.lax.ppermute(
@@ -136,6 +134,71 @@ def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
                 right = jnp.concatenate(
                     [right,
                      jnp.zeros((hi - right.shape[0],), x_local.dtype)])
+    return left, right
+
+
+# row-block granularity for the interior/boundary split: multiples of the
+# Pallas TILE keep every sub-block kernel-eligible and 128-lane aligned
+_SPLIT_ROUND = 4096
+
+
+def _slice_vals(vals_local, a: int, b: int):
+    """Rows [a, b) of a shard's value planes ((nd, m) or blocked)."""
+    if vals_local.ndim == 3:
+        return vals_local[:, a // 128:b // 128, :]
+    return vals_local[:, a:b]
+
+
+def dia_spmv_ring_local(offsets, n_shards: int, axis_name: str,
+                        vals_local: jnp.ndarray, x_local: jnp.ndarray,
+                        interpret: bool = False,
+                        overlap: bool = True) -> jnp.ndarray:
+    """One shard's y = (A x)_local with neighbor halo exchange.
+
+    Call INSIDE shard_map.  With ``overlap`` (default), rows are split
+    into an interior block (band stays inside the local x slice) and two
+    boundary bands that are the only consumers of the ``ppermute`` d
+    halos; the interior product carries no data dependency on the
+    collectives, so XLA's latency-hiding scheduler runs the ICI transfers
+    concurrently with the interior SpMV — the BASELINE.json north-star
+    "halo exchange overlapped with local SpMV compute".  Numerics are
+    unchanged: each row sees the same per-diagonal accumulation order.
+    """
+    lo, hi = dia_halo_widths(offsets)
+    m = x_local.shape[0]
+    left, right = _ring_halos(offsets, n_shards, axis_name, x_local)
+
+    # boundary band heights, rounded to the block granularity so every
+    # sub-product stays Pallas-eligible; fall back to the monolithic
+    # window when the shard is too small to split profitably
+    t = -(-lo // _SPLIT_ROUND) * _SPLIT_ROUND if lo else 0
+    bt = -(-hi // _SPLIT_ROUND) * _SPLIT_ROUND if hi else 0
+    if overlap and t + bt < m and (t or bt) and m % 128 == 0:
+        parts = []
+        if t:
+            xw_top = jnp.concatenate([left, x_local[:t + hi]])
+            parts.append(dia_spmv_local(
+                offsets, _slice_vals(vals_local, 0, t), xw_top,
+                interpret=interpret))
+        # interior rows [t, m-bt): window x_local[t-lo : m-bt+hi] is fully
+        # local (t >= lo, bt >= hi by construction) — no halo dependency,
+        # so it overlaps with the ppermutes above
+        xw_int = jax.lax.slice(x_local, (t - lo,), (m - bt + hi,))
+        parts.append(dia_spmv_local(
+            offsets, _slice_vals(vals_local, t, m - bt), xw_int,
+            interpret=interpret))
+        if bt:
+            xw_bot = jnp.concatenate([x_local[m - bt - lo:], right])
+            parts.append(dia_spmv_local(
+                offsets, _slice_vals(vals_local, m - bt, m), xw_bot,
+                interpret=interpret))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    parts = []
+    if left is not None:
+        parts.append(left)
+    parts.append(x_local)
+    if right is not None:
         parts.append(right)
     xw = jnp.concatenate(parts) if len(parts) > 1 else x_local
     return dia_spmv_local(offsets, vals_local, xw, interpret=interpret)

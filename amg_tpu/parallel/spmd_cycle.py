@@ -300,8 +300,8 @@ class SpmdAMGSolver:
         self.axis = self.mesh.axis_names[0]
         self.ndev = int(np.prod(list(self.mesh.shape.values())))
         self.a = a
-        # blocked Dia / BandedBlocks have no shard_map path
-        pars = pars.replace(use_banded="off")
+        # BandedBlocks levels sit below the embedded boundary (l > E), so
+        # they run in the replicated compact tail — same single-chip code
         self.pars = pars
         mg, hh = setup(a, pars, log=log)
         self.host_hierarchy = hh
@@ -406,4 +406,6 @@ class SpmdAMGSolver:
                 break
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
-        return np.asarray(xd[:n]), info
+        from .multihost import fetch
+
+        return fetch(xd)[:n], info

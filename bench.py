@@ -153,52 +153,107 @@ def main():
 
     b = np.ones(a.n_rows)
 
-    # -- SpMV microbenchmark (level-0 operator) -------------------------
+    # -- SpMV microbenchmark: per-level streaming rates -----------------
+    # Methodology (round-2 fix): the timed chain rotates through enough
+    # DISTINCT operator copies that their total size dwarfs VMEM (~16 MB),
+    # so XLA cannot keep values on-chip between applications — every apply
+    # re-streams the operator from HBM.  Reported GB/s is
+    #   (operator bytes + x read + y write) / measured-time
+    # and %SoL is that against the chip's HBM bandwidth
+    # (AMG_HBM_GBPS, default 819 for v5e).  The chain is sized so the
+    # measured window is >= ~0.5 s, far above the ~30ms (+/-15ms)
+    # relay dispatch/fetch noise.
     if os.environ.get("AMG_BENCH_SPMV", "1") != "1":
         log("spmv microbenchmark skipped (AMG_BENCH_SPMV=0)")
         return _solve_bench(solver, a, b=np.ones(a.n_rows), log=log)
-    # chain the dependent SpMVs INSIDE one jitted program so the
-    # measurement is device execution time, not per-call host dispatch
-    # latency (which dominates through a remote-execution relay)
-    e = solver.mg.levels[0].a
-    x = jnp.ones(solver.pad, dtype=solver.dtype)
-    # the measured chain must dwarf the ~30ms (+/- ~15ms) dispatch+fetch
-    # RTT noise: a statically-unrolled 256-SpMV program (device control
-    # flow serializes through the relay; bigger unrolls blow up compile
-    # time), dispatched K dependent times, one fetch at the end
-    chain_len = 256
-    k_disp = max(int(0.2 * 100e9 / max(a.nnz * chain_len, 1)), 1)
+    hbm_gbps = float(os.environ.get("AMG_HBM_GBPS", "819"))
+    only = os.environ.get("AMG_BENCH_SPMV_LEVELS")  # e.g. "0,2"
+    lv_sel = None if not only else {int(t) for t in only.split(",")}
+    for li, lvl in enumerate(solver.mg.levels):
+        if lv_sel is not None and li not in lv_sel:
+            continue
+        _level_spmv_bench(li, lvl, spmv, log, hbm_gbps)
 
-    def _chain(a_op, x):
-        for _ in range(chain_len):
-            x = spmv(a_op, x) * (1.0 / n_side)
+    _solve_bench(solver, a, b, log)
+
+
+def _op_traffic_bytes(op, pad, x_itemsize):
+    """Minimum HBM traffic of one y = A @ x: every operator array read
+    once, x read once, y written once."""
+    import jax
+
+    ob = sum(v.size * v.dtype.itemsize
+             for v in jax.tree_util.tree_leaves(op) if hasattr(v, "dtype"))
+    return ob + 2 * pad * x_itemsize
+
+
+def _level_spmv_bench(li, lvl, spmv, log, hbm_gbps):
+    import math
+    import jax
+    import jax.numpy as jnp
+
+    op = lvl.a
+    pad = op.padded_rows
+    name = type(op).__name__
+    xdt = jnp.dtype("float32") if any(
+        v.dtype == jnp.bfloat16 for v in jax.tree_util.tree_leaves(op)
+        if hasattr(v, "dtype")) else None
+    x = jnp.ones(pad, dtype=xdt or _vals_dtype(op))
+    tb = _op_traffic_bytes(op, pad, x.dtype.itemsize)
+    if tb < 8e6:
+        log(f"spmv L{li} [{name}] {tb/1e6:6.1f} MB/apply: "
+            "latency-bound at this size, not measured")
+        return
+    # distinct copies totaling >= ~8x VMEM so values cannot stay resident
+    ncopy = max(1, min(12, math.ceil(128e6 / tb)))
+    ops = [op] + [
+        jax.tree_util.tree_map(
+            lambda v: jnp.array(v, copy=True) if hasattr(v, "dtype") else v,
+            op)
+        for _ in range(ncopy - 1)
+    ]
+    # normalize so the chained iterates neither overflow nor denormal
+    y1 = spmv(op, x)
+    c = 1.0 / max(float(jnp.max(jnp.abs(y1))), 1e-30)
+    chain_len = 192
+    sol_s = chain_len * tb / (hbm_gbps * 1e9)
+    k_disp = max(1, min(400, math.ceil(0.5 / sol_s)))
+
+    def _chain(ops, x):
+        for i in range(chain_len):
+            x = spmv(ops[i % len(ops)], x) * c
         return x
 
-    chain_j = jax.jit(_chain)
+    cj = jax.jit(_chain)
 
     def _run(x):
         for _ in range(k_disp):
-            x = chain_j(e, x)
-        return float(jnp.sum(x))  # full sync through the relay
+            x = cj(ops, x)
+        return float(jnp.sum(x))  # sync through the relay
 
-    def _fetch_time(fn, *args):
-        fn(*args)
-        t0 = time.perf_counter()
-        fn(*args)
-        return time.perf_counter() - t0
+    _run(x)  # compile + warm
+    t0 = time.perf_counter()
+    _run(x)
+    t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(x))
+    t -= time.perf_counter() - t0
+    per = max(t, 1e-9) / (chain_len * k_disp)
+    gbs = tb / per / 1e9
+    log(f"spmv L{li} [{name}] {tb/1e6:6.1f} MB/apply: {per*1e3:7.3f} ms, "
+        f"{gbs:6.1f} GB/s = {100*gbs/hbm_gbps:5.1f}% of HBM SoL "
+        f"({ncopy} rotating copies, {chain_len * k_disp} applies)")
 
-    base_s = _fetch_time(lambda q: float(jnp.sum(q + 1.0)), x)
-    t_chain = _fetch_time(_run, x)
-    reps = chain_len * k_disp
-    spmv_s = max((t_chain - base_s) / reps, 1e-9)
-    spmv_nnz_s = a.nnz / spmv_s
-    log(f"spmv: {spmv_s*1e3:.3f} ms -> {spmv_nnz_s/1e9:.3f} Gnnz/s, "
-        f"{2*a.nnz/spmv_s/1e9:.2f} GFLOP/s "
-        f"({reps} reps; dispatch+fetch baseline {base_s*1e3:.1f} ms "
-        f"subtracted; indicative only below ~10M rows — relay timing "
-        f"noise is +/-15ms)")
 
-    _solve_bench(solver, a, b, log)
+def _vals_dtype(op):
+    import jax
+    import jax.numpy as jnp
+
+    for v in jax.tree_util.tree_leaves(op):
+        if hasattr(v, "dtype") and v.dtype in (jnp.float32, jnp.float64,
+                                               jnp.bfloat16):
+            return v.dtype
+    return jnp.float32
 
 
 def _solve_bench(solver, a, b, log):
