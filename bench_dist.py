@@ -12,6 +12,15 @@ to exercise the SPMD code path on an emulated mesh (throughput numbers on
 emulated CPU devices are functional, not performance, results).
 
 Prints one JSON line per mesh size.
+
+Multi-host modes (VERDICT round-1 item 4):
+  * ``python bench_dist.py --spawn K`` launches K OS processes on this
+    machine, each with ``AMG_DIST_LOCAL_DEV`` emulated CPU devices, joined
+    by ``jax.distributed`` — the emulated weak-scaling run across process
+    (DCN) boundaries.
+  * On a real multi-host pod, run one copy per host with
+    ``AMG_COORDINATOR=host0:port AMG_NUM_PROCESSES=H AMG_PROCESS_ID=i``;
+    :func:`amg_tpu.parallel.initialize` picks these up below.
 """
 
 import json
@@ -24,7 +33,50 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def spawn(nproc: int):
+    """Launch ``nproc`` worker copies of this script joined via
+    jax.distributed over localhost, stream rank 0's output."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    local_dev = os.environ.get("AMG_DIST_LOCAL_DEV", "4")
+    procs = []
+    for i in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_dev}",
+            PALLAS_AXON_POOL_IPS="",
+            AMG_COORDINATOR=f"localhost:{port}",
+            AMG_NUM_PROCESSES=str(nproc),
+            AMG_PROCESS_ID=str(i),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=None if i == 0 else subprocess.DEVNULL,
+            stderr=None if i == 0 else subprocess.DEVNULL,
+        ))
+    try:
+        rc = max(p.wait() for p in procs)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    sys.exit(rc)
+
+
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--spawn":
+        spawn(int(sys.argv[2]))
+
+    from amg_tpu.parallel import initialize
+
+    multiproc = initialize()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -45,11 +97,22 @@ def main():
     log(f"devices: {ndev_avail} x {jax.devices()[0].device_kind}")
 
     base_nnz_s = None
-    sizes = []
-    n = 1
-    while n <= ndev_avail:
-        sizes.append(n)
-        n *= 2
+    if multiproc:
+        # multi-process runs use the one full global mesh (a sub-mesh
+        # would leave some processes without addressable shards); the
+        # single-device baseline for the efficiency column comes from a
+        # prior single-process run via AMG_DIST_BASE_NNZ_S
+        log(f"multi-process: {jax.process_count()} processes x "
+            f"{jax.local_device_count()} local devices")
+        sizes = [ndev_avail]
+        if "AMG_DIST_BASE_NNZ_S" in os.environ:
+            base_nnz_s = float(os.environ["AMG_DIST_BASE_NNZ_S"])
+    else:
+        sizes = []
+        n = 1
+        while n <= ndev_avail:
+            sizes.append(n)
+            n *= 2
 
     for ndev in sizes:
         n_side = max(int(round((rows_per_dev * ndev) ** (1.0 / 3.0))), 8)
