@@ -31,7 +31,7 @@ from .params import (  # noqa: E402
 )
 from .sparse import CSR, Ell, Dia  # noqa: E402
 from .io.matrix_market import read_mtx, write_mtx  # noqa: E402
-from .io.generators import poisson2d, poisson3d, random_spd  # noqa: E402
+from .io.generators import poisson2d, poisson3d, random_spd, fem2d  # noqa: E402
 from .hierarchy import setup, setup_host, Hierarchy, Level  # noqa: E402
 from .solve.driver import AMGSolver, solver_amg  # noqa: E402
 from .solve.krylov import cg, gmres  # noqa: E402
@@ -54,6 +54,7 @@ __all__ = [
     "poisson2d",
     "poisson3d",
     "random_spd",
+    "fem2d",
     "setup",
     "setup_host",
     "Hierarchy",

@@ -62,7 +62,8 @@ def build_argparser() -> argparse.ArgumentParser:
         description="TPU-native algebraic multigrid solver",
     )
     ap.add_argument("matrix", help=".mtx MatrixMarket file, or poisson2d:N / "
-                                   "poisson3d:N synthetic problem")
+                                   "poisson3d:N / anisotropic:N[:eps] / "
+                                   "fem2d:N[:graded] synthetic problem")
     d = AMGParams()
     ap.add_argument("--max-it", type=int, default=d.max_it)
     ap.add_argument("--tol", type=float, default=d.tol)
@@ -141,6 +142,13 @@ def load_matrix(spec: str):
         return poisson2d(int(spec.split(":", 1)[1]))
     if spec.startswith("poisson3d:"):
         return poisson3d(int(spec.split(":", 1)[1]))
+    if spec.startswith("fem2d:"):
+        # fem2d:N or fem2d:N:graded — unstructured Delaunay FEM stiffness
+        from .io.generators import fem2d
+
+        parts = spec.split(":")
+        return fem2d(int(parts[1]), graded=len(parts) > 2 and
+                     parts[2] == "graded")
     if spec.startswith("anisotropic:"):
         # anisotropic:N or anisotropic:N:eps (epsilon-scaled y-coupling)
         parts = spec.split(":")

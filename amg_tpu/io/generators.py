@@ -91,6 +91,72 @@ def poisson3d(nx: int, ny: int | None = None, nz: int | None = None) -> CSR:
     ])
 
 
+def fem2d(n: int, seed: int = 0, kappa_jump: float = 1.0e3,
+          graded: bool = False) -> CSR:
+    """Unstructured P1-FEM stiffness matrix on a random Delaunay mesh.
+
+    Stress-tests the setup phase the way SuiteSparse thermal problems do
+    (BASELINE configs thermal2 / parabolic_fem, which cannot be fetched in
+    this zero-egress environment): irregular vertex degrees (4..20+), skinny
+    triangles that produce *positive* off-diagonal couplings (non-M-matrix
+    rows for the strength heuristics), and a checkerboard conductivity jump
+    of ``kappa_jump`` across material quadrants.
+
+    ``n`` interior vertices are sampled in the unit square (``graded=True``
+    squares the coordinates, clustering points near one corner like a graded
+    mesh); a structured ring of boundary vertices closes the hull and is
+    Dirichlet-eliminated, so the returned matrix is SPD of order ``n``.
+    """
+    from scipy.spatial import Delaunay  # lazy: setup-only dependency
+
+    rng = np.random.default_rng(seed)
+    nb = max(int(np.sqrt(n)), 4)  # boundary points per side
+    t = np.linspace(0.0, 1.0, nb, endpoint=False)
+    zeros = np.zeros(nb)
+    ones_b = np.ones(nb)
+    bnd = np.concatenate([
+        np.stack([t, zeros], axis=1),          # south
+        np.stack([ones_b, t], axis=1),         # east
+        np.stack([1.0 - t, ones_b], axis=1),   # north
+        np.stack([zeros, 1.0 - t], axis=1),    # west
+    ])
+    n_bnd = bnd.shape[0]
+    interior = rng.random((n, 2))
+    if graded:
+        interior = interior ** 2
+        # keep a minimum clearance from the boundary so qhull stays happy
+        interior = 1e-3 + interior * (1.0 - 2e-3)
+    pts = np.concatenate([bnd, interior])
+
+    tri = Delaunay(pts).simplices  # (nt, 3) vertex ids
+    p = pts[tri]  # (nt, 3, 2)
+    # edge opposite vertex i: e_i = p_{i+2} - p_{i+1} (cyclic); sum_i e_i = 0
+    e = p[:, [2, 0, 1], :] - p[:, [1, 2, 0], :]
+    # signed double area from any two edges
+    area2 = e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0]
+    area2 = np.where(np.abs(area2) < 1e-14, 1e-14, area2)
+    centroid = p.mean(axis=1)
+    quad = (centroid[:, 0] > 0.5).astype(np.int64) \
+        + 2 * (centroid[:, 1] > 0.5).astype(np.int64)
+    kappa = np.where((quad == 0) | (quad == 3), 1.0, kappa_jump)
+    # P1 stiffness: K_ij = kappa * (e_i . e_j) / (2 * |area2|)
+    scale = kappa / (2.0 * np.abs(area2))
+    rows = []
+    cols = []
+    vals = []
+    for i in range(3):
+        for j in range(3):
+            rows.append(tri[:, i])
+            cols.append(tri[:, j])
+            vals.append(scale * np.einsum("td,td->t", e[:, i], e[:, j]))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    v = np.concatenate(vals)
+    # Dirichlet-eliminate the boundary ring (first n_bnd vertices)
+    keep = (r >= n_bnd) & (c >= n_bnd)
+    return CSR.from_coo(r[keep] - n_bnd, c[keep] - n_bnd, v[keep], (n, n))
+
+
 def random_spd(n: int, density: float = 0.05, seed: int = 0) -> CSR:
     """Random diagonally-dominant SPD matrix (test fixture)."""
     rng = np.random.default_rng(seed)

@@ -88,6 +88,11 @@ class _NativeLib:
         dll.strength_fill.restype = None
         dll.strength_fill.argtypes = [i64, p_i64, p_i32, p_f64, f64, f64,
                                       p_i64, p_i32]
+        dll.p_pattern_dir_count.restype = None
+        dll.p_pattern_dir_count.argtypes = [i64, p_i64, p_i32, p_i64, p_i64]
+        dll.p_pattern_dir_fill.restype = None
+        dll.p_pattern_dir_fill.argtypes = [i64, p_i64, p_i32, p_i64, p_i64,
+                                           p_i32]
         dll.trunc_count.restype = None
         dll.trunc_count.argtypes = [i64, p_i64, p_i32, p_f64, f64, p_i64]
         dll.trunc_fill.restype = None
@@ -179,6 +184,22 @@ class _NativeLib:
         sj = np.zeros(sp[n], dtype=np.int32)
         self._dll.strength_fill(n, ap, aj, av, theta, max_row_sum, sp, sj)
         return CSR(sp, sj, np.ones(len(sj), dtype=np.float64), (n, n))
+
+    def p_pattern_dir(self, s, vec, n_coarse):
+        """Direct-interpolation pattern CSR (data = zeros)."""
+        from ..sparse import CSR
+
+        n = s.n_rows
+        sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
+        sj = np.ascontiguousarray(s.indices, dtype=np.int32)
+        v = np.ascontiguousarray(vec, dtype=np.int64)
+        pp = np.zeros(n + 1, dtype=np.int64)
+        self._dll.p_pattern_dir_count(n, sp, sj, v, pp)
+        np.cumsum(pp, out=pp)
+        pj = np.zeros(pp[n], dtype=np.int32)
+        self._dll.p_pattern_dir_fill(n, sp, sj, v, pp, pj)
+        return CSR(pp, pj, np.zeros(len(pj), dtype=np.float64),
+                   (n, n_coarse))
 
     def truncate(self, p, eps):
         """Interpolation truncation with pos/neg row-sum rescaling."""

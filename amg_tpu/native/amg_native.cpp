@@ -612,6 +612,53 @@ int32_t std_interp_values(
 }
 
 // ---------------------------------------------------------------------------
+// Direct-interpolation pattern (reference form_P_pattern_dir,
+// amg/Setup/SSS_coarsen.c:577-630): F rows (vec==0) take their strong C
+// neighbors (vec[col]==1), C rows (vec==1) get a single identity entry,
+// isolated rows (vec==2) stay empty.  Pass 1 counts per-row entries into
+// pp[1..n] (caller prefix-sums), pass 2 fills pj.  Both passes are
+// embarrassingly parallel over rows.
+// ---------------------------------------------------------------------------
+
+void p_pattern_dir_count(
+    int64_t n, const int64_t* sp, const int32_t* sj, const int64_t* vec,
+    int64_t* pp)
+{
+    pp[0] = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t cnt = 0;
+        if (vec[i] == 1) {
+            cnt = 1;
+        } else if (vec[i] == 0) {
+            for (int64_t k = sp[i]; k < sp[i + 1]; ++k)
+                if (vec[sj[k]] == 1) ++cnt;
+        }
+        pp[i + 1] = cnt;
+    }
+}
+
+void p_pattern_dir_fill(
+    int64_t n, const int64_t* sp, const int32_t* sj, const int64_t* vec,
+    const int64_t* pp, int32_t* pj)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t next = pp[i];
+        if (vec[i] == 1) {
+            pj[next] = (int32_t)i;
+        } else if (vec[i] == 0) {
+            for (int64_t k = sp[i]; k < sp[i + 1]; ++k)
+                if (vec[sj[k]] == 1) pj[next++] = sj[k];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Direct interpolation values (reference DIR_Step_1,
 // amg/Setup/SSS_inter.cu:104-210): per F row split off-diagonals into
 // negative/positive sums over all neighbors (amN/apN) and over the P

@@ -139,3 +139,20 @@ def test_std_interp_matches_python():
         native_mod.lib = saved
 
     np.testing.assert_allclose(p1.data, p2.data, rtol=1e-13, atol=1e-15)
+
+
+def test_p_pattern_dir_matches_python():
+    from amg_tpu.setup_phase.strength import strength_matrix
+    from amg_tpu.setup_phase.cf_split import rs_split, clean_ff_couplings
+    from amg_tpu.setup_phase.interp import _p_pattern_dir_py
+
+    for gen in (lambda: amg.poisson2d(17), lambda: amg.poisson3d(7),
+                lambda: amg.fem2d(900, seed=4)):
+        a = gen()
+        s = strength_matrix(a)
+        vec, col = rs_split(s)
+        col = clean_ff_couplings(s, vec, col)
+        p_n = native.lib.p_pattern_dir(s, vec, col)
+        p_p = _p_pattern_dir_py(s, vec, col)
+        np.testing.assert_array_equal(p_n.indptr, p_p.indptr)
+        np.testing.assert_array_equal(p_n.indices, p_p.indices)

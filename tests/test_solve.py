@@ -845,3 +845,37 @@ def test_krylov_coarsest_indefinite_fallback():
     x = coarsest_solve(mg, jnp.asarray(b), pars, ctol=1e-10)
     np.testing.assert_allclose(np.asarray(x)[:n], x_true, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_unstructured_fem_solve():
+    """Unstructured Delaunay FEM stiffness (thermal2-class stress: irregular
+    degrees, positive off-diagonals, 1e3 conductivity jumps) sets up and
+    solves to 1e-8 (VERDICT round-1 item 7; reference stress surface
+    amg/SSS_matvec.c:398-534 exercised via Galerkin RAP on irregular rows).
+    """
+    import amg_tpu as amg
+
+    a = amg.fem2d(4000, seed=7)
+    b = np.ones(a.n_rows)
+    solver = amg.AMGSolver(a, AMGParams(tol=1e-8, verbose=False))
+    x, info = solver.solve(b)
+    assert info.rres < 1e-8
+    # host-verified true residual
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    true_rres = np.linalg.norm(b - m @ x) / np.linalg.norm(b)
+    assert true_rres < 5e-8
+
+
+def test_unstructured_fem_graded_setup():
+    """Graded-mesh variant: degree distribution is even more skewed; the
+    format picker must not blow up ELL widths (hierarchy stays bounded)."""
+    import amg_tpu as amg
+
+    a = amg.fem2d(6000, seed=11, graded=True)
+    hh = amg.setup_host(a, AMGParams(verbose=False))
+    assert len(hh.a) >= 3
+    # operator complexity stays sane on irregular meshes
+    cmp_op = sum(m.nnz for m in hh.a) / hh.a[0].nnz
+    assert cmp_op < 6.0
