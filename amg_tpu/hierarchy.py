@@ -433,15 +433,44 @@ def _embed_csr(m: CSR, row_emb: np.ndarray, col_emb: np.ndarray,
     return CSR.from_coo(row_emb[m.row_indices], cols, m.data, (n0, n0))
 
 
-def _num_offsets_embedded(m: CSR, row_emb, col_emb) -> int:
+def _embedded_offset_hist(m: CSR, row_emb, col_emb, cache=None):
+    """(off_lo, uniq) histogram of embedded (col - row) offsets, memoized.
+
+    ``embedding_plan`` counts these for every candidate operator, and
+    ``_embedded_level`` needs the identical histogram again when packing —
+    at 10M rows each recount is ~4 passes over a 69M-entry array, so the
+    plan phase shares one pass with the pack phase through ``cache``
+    (keyed by object identity, which is stable within one setup)."""
+    key = (id(m), id(row_emb), id(col_emb))
+    if cache is not None and key in cache:
+        return cache[key]
     rows = m.row_indices
     off = col_emb[m.indices.astype(np.int64)] - row_emb[rows]
     if len(off) == 0:
-        return 0
-    # bincount over the bounded offset range is O(nnz + range), much faster
-    # than the sort inside np.unique at multi-million nnz
-    lo = off.min()
-    return int(np.count_nonzero(np.bincount(off - lo)))
+        hist = (0, np.zeros(0, dtype=np.int64))
+    else:
+        # bincount over the bounded offset range is O(nnz + range), much
+        # faster than the sort inside np.unique at multi-million nnz
+        lo = int(off.min())
+        uniq = np.flatnonzero(np.bincount(off - lo)) + lo
+        hist = (lo, uniq)
+    if cache is not None:
+        cache[key] = hist
+    return hist
+
+
+def _num_offsets_embedded(m: CSR, row_emb, col_emb, cache=None) -> int:
+    return len(_embedded_offset_hist(m, row_emb, col_emb, cache)[1])
+
+
+def _embed_csr_cached(m: CSR, row_emb, col_emb, n0: int, cache) -> CSR:
+    """_embed_csr + pre-seed the result's (col-row) histogram from the
+    plan-phase cache so Dia.num_offsets / Dia.from_csr skip their own
+    recount passes over the (potentially 100x-expanded) embedded nnz."""
+    out = _embed_csr(m, row_emb, col_emb, n0)
+    out._off_hist_cache = (
+        out.nnz, _embedded_offset_hist(m, row_emb, col_emb, cache))
+    return out
 
 
 def embedding_plan(hh: HostHierarchy, pars: AMGParams):
@@ -459,6 +488,7 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
 
     nl = hh.num_levels
     n0 = hh.a[0].n_rows
+    hist_cache = hh.__dict__.setdefault("_emb_hist", {})
     emb = [np.arange(n0, dtype=np.int64)]
     for cf in hh.cfmark:
         if cf is None:
@@ -497,9 +527,11 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
     for l in range(1, min(pars.embed_levels + 1, nl - 1)):
         if l >= len(emb):
             break
-        nd_a = _num_offsets_embedded(hh.a[l], emb[l], emb[l])
-        nd_p = _num_offsets_embedded(hh.p[l - 1], emb[l - 1], emb[l])
-        nd_r = _num_offsets_embedded(hh.r[l - 1], emb[l], emb[l - 1])
+        nd_a = _num_offsets_embedded(hh.a[l], emb[l], emb[l], hist_cache)
+        nd_p = _num_offsets_embedded(hh.p[l - 1], emb[l - 1], emb[l],
+                                     hist_cache)
+        nd_r = _num_offsets_embedded(hh.r[l - 1], emb[l], emb[l - 1],
+                                     hist_cache)
         if max(nd_a, nd_p, nd_r) > pars.embed_max_diags:
             break
         if gs_like:
@@ -519,8 +551,8 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
         # the boundary level needs either embedded P_E/R_E (streaming, but
         # (nd_p + nd_r) * n0 bytes) or the compact handoff (small gather +
         # compact Ell P/R — no extra embedded arrays at all)
-        nd_p = _num_offsets_embedded(hh.p[E], emb[E], emb[E + 1])
-        nd_r = _num_offsets_embedded(hh.r[E], emb[E + 1], emb[E])
+        nd_p = _num_offsets_embedded(hh.p[E], emb[E], emb[E + 1], hist_cache)
+        nd_r = _num_offsets_embedded(hh.r[E], emb[E + 1], emb[E], hist_cache)
         cost = (nd_p + nd_r) * n0 * itemsize
         emb_fits = (max(nd_p, nd_r) <= pars.embed_max_diags
                     and spent + cost <= budget)
@@ -565,7 +597,8 @@ def _embedded_level(
         if a_dev is None:
             raise ValueError("embedded hierarchy requires a banded A_0")
     else:
-        a_emb = _embed_csr(al, rl, rl, n0)
+        hist_cache = hh.__dict__.setdefault("_emb_hist", {})
+        a_emb = _embed_csr_cached(al, rl, rl, n0, hist_cache)
         a_dev = Dia.from_csr(
             a_emb, dtype=op_dtype, pad_rows_to=pad0,
             blocked=_dia_blocked(Dia.num_offsets(a_emb), pad0, op_dtype),
@@ -589,8 +622,9 @@ def _embedded_level(
         cl = emb[l + 1]
         pr_dtype = dtype if pars.coarse_op_dtype == "same" \
             else jnp.dtype(pars.coarse_op_dtype)
-        p_emb = _embed_csr(hh.p[l], rl, cl, n0)
-        r_emb = _embed_csr(hh.r[l], cl, rl, n0)
+        hist_cache = hh.__dict__.setdefault("_emb_hist", {})
+        p_emb = _embed_csr_cached(hh.p[l], rl, cl, n0, hist_cache)
+        r_emb = _embed_csr_cached(hh.r[l], cl, rl, n0, hist_cache)
         p_dev = Dia.from_csr(
             p_emb, dtype=pr_dtype, pad_rows_to=pad0,
             blocked=_dia_blocked(Dia.num_offsets(p_emb), pad0, pr_dtype),

@@ -63,6 +63,8 @@ class _NativeLib:
             i64, i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_f64,
             p_i64, p_i32, p_f64,
         ]
+        dll.csr_transpose_pat.restype = i32
+        dll.csr_transpose_pat.argtypes = [i64, i64, p_i64, p_i32, p_i64, p_i32]
         dll.rs_split.restype = i64
         dll.rs_split.argtypes = [i64, p_i64, p_i32, p_i64, p_i32, p_i64]
         dll.clean_ff.restype = i64
@@ -119,12 +121,14 @@ class _NativeLib:
         return CSR(cp, cj, cv, (m, n))
 
     def rs_split(self, s):
-        st = s.transpose()
         n = s.n_rows
         sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
         sj = np.ascontiguousarray(s.indices, dtype=np.int32)
-        tp = np.ascontiguousarray(st.indptr, dtype=np.int64)
-        tj = np.ascontiguousarray(st.indices, dtype=np.int32)
+        # S is a pure pattern: transpose structure only (skips the value
+        # scatter, the biggest per-level array after A itself)
+        tp = np.zeros(n + 1, dtype=np.int64)
+        tj = np.zeros(s.nnz, dtype=np.int32)
+        self._dll.csr_transpose_pat(n, n, sp, sj, tp, tj)
         vec = np.zeros(n, dtype=np.int64)
         col = self._dll.rs_split(n, sp, sj, tp, tj, vec)
         return vec, int(col)
@@ -183,7 +187,10 @@ class _NativeLib:
         np.cumsum(sp, out=sp)
         sj = np.zeros(sp[n], dtype=np.int32)
         self._dll.strength_fill(n, ap, aj, av, theta, max_row_sum, sp, sj)
-        return CSR(sp, sj, np.ones(len(sj), dtype=np.float64), (n, n))
+        # S is consumed as a pattern only (split / clean_ff / P patterns);
+        # a broadcast stride-0 "ones" avoids materializing nnz float64s
+        ones = np.broadcast_to(np.float64(1.0), int(sp[n]))
+        return CSR(sp, sj, ones, (n, n))
 
     def p_pattern_dir(self, s, vec, n_coarse):
         """Direct-interpolation pattern CSR (data = zeros)."""

@@ -288,6 +288,25 @@ int32_t csr_transpose(
     return 0;
 }
 
+// Pattern-only transpose (no values): the strength matrix S is a pure
+// pattern, and rs_split only needs S^T's structure — skipping tv halves
+// the transpose traffic on the biggest per-level array.
+int32_t csr_transpose_pat(
+    int64_t m, int64_t n,
+    const int64_t* ap, const int32_t* aj,
+    int64_t* tp, int32_t* tj)
+{
+    std::memset(tp, 0, sizeof(int64_t) * (size_t)(n + 1));
+    const int64_t nnz = ap[m];
+    for (int64_t k = 0; k < nnz; ++k) tp[aj[k] + 1]++;
+    for (int64_t j = 0; j < n; ++j) tp[j + 1] += tp[j];
+    std::vector<int64_t> next(tp, tp + n);
+    for (int64_t i = 0; i < m; ++i)
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k)
+            tj[next[(size_t)aj[k]]++] = (int32_t)i;
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Classical RS C/F splitting.
 //

@@ -317,8 +317,9 @@ def interp_std_values(a: CSR, vec: np.ndarray, p: CSR, s: CSR) -> None:
 def renumber_coarse(p: CSR, vec: np.ndarray) -> None:
     """Map P's column indices from fine numbering to coarse numbering
     (reference amg/Setup/SSS_inter.cu:374-387)."""
-    cindex = np.cumsum(vec == CGPT) - 1
-    p.indices = cindex[p.indices].astype(np.int32)
+    cindex = np.cumsum(vec == CGPT, dtype=np.int32)
+    cindex -= 1
+    p.indices = cindex[p.indices]
 
 
 def truncate(p: CSR, trunc_threshold: float) -> CSR:

@@ -535,6 +535,26 @@ class Dia:
         return len(self.offsets)
 
     @staticmethod
+    def _offset_hist(a: CSR):
+        """Memoized (off_lo, uniq offsets) of a host CSR — the (col - row)
+        histogram is needed by both format selection (num_offsets, called
+        repeatedly per level on embedding candidates) and packing
+        (from_csr); one O(nnz) bincount pass serves both."""
+        cached = getattr(a, "_off_hist_cache", None)
+        if cached is not None and cached[0] == a.nnz:
+            return cached[1]
+        offs = a.indices.astype(np.int64) - a.row_indices
+        if len(offs):
+            off_lo = int(offs.min())
+            cnt = np.bincount(offs - off_lo)
+            uniq = np.flatnonzero(cnt) + off_lo
+        else:
+            off_lo = 0
+            uniq = np.zeros(0, dtype=np.int64)
+        a._off_hist_cache = (a.nnz, (off_lo, uniq))
+        return off_lo, uniq
+
+    @staticmethod
     def num_offsets(a: CSR) -> int:
         """Distinct (col - row) offsets of a host CSR matrix.
 
@@ -543,14 +563,7 @@ class Dia:
         and format selection calls this for every level)."""
         if a.nnz == 0:
             return 0
-        cached = getattr(a, "_num_offsets_cache", None)
-        if cached is not None and cached[0] == a.nnz:
-            return cached[1]
-        offs = a.indices.astype(np.int64) - a.row_indices
-        lo = offs.min()
-        nd = int(np.count_nonzero(np.bincount(offs - lo)))
-        a._num_offsets_cache = (a.nnz, nd)
-        return nd
+        return len(Dia._offset_hist(a)[1])
 
     @staticmethod
     def from_csr(
@@ -565,13 +578,11 @@ class Dia:
         if pad_rows_to is not None:
             pr = max(pr, pad_rows_to)
         rows = a.row_indices
-        offs = a.indices.astype(np.int64) - rows
-        if len(offs):
+        if a.nnz:
             # bincount + lookup table instead of sort-based unique/searchsorted
-            off_lo = offs.min()
-            cnt = np.bincount(offs - off_lo)
-            uniq = np.flatnonzero(cnt) + off_lo
-            lut = np.full(len(cnt), -1, dtype=np.int64)
+            off_lo, uniq = Dia._offset_hist(a)
+            offs = a.indices.astype(np.int64) - rows
+            lut = np.full(int(uniq[-1]) - off_lo + 1, -1, dtype=np.int64)
             lut[uniq - off_lo] = np.arange(len(uniq))
             dpos = lut[offs - off_lo]
         else:
