@@ -199,7 +199,14 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
             if cs_type == CoarsenType.RS:
                 vec, col = rs_split(s)
             elif cs_type == CoarsenType.PMIS:
-                vec, col = pmis_split(s)
+                # big graphs: run the round loop on the accelerator
+                # (segment_max rounds; no host round-trips)
+                if al.n_rows >= 262_144:
+                    from .setup_phase.cf_split import pmis_split_device
+
+                    vec, col = pmis_split_device(s)
+                else:
+                    vec, col = pmis_split(s)
             elif cs_type == CoarsenType.SA:
                 from .setup_phase.aggregation import aggregate
 

@@ -183,6 +183,12 @@ class AMGParams:
     # Masked Gauss-Seidel on an embedded level costs n_colors full operator
     # passes per sweep; Chebyshev costs poly_deg passes regardless.
     coarse_smoother: "SmootherType | None" = None
+    # Per-level polynomial-smoother degree schedule (applies to POLY /
+    # Chebyshev smoothing): level l uses poly_deg_schedule[min(l, len-1)].
+    # None = pars.poly_deg everywhere.  Lighter smoothing at depth trims
+    # operator passes on the mid levels where the cycle spends most of its
+    # HBM traffic (a degree-d application streams d operator passes).
+    poly_deg_schedule: "tuple[int, ...] | None" = None
     # Storage dtype for coarse-level (>= 1) operator values ("same" or e.g.
     # "bfloat16"): coarse corrections are a preconditioner, so half-precision
     # operator storage halves the dominant HBM traffic with little

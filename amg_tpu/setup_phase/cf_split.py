@@ -295,6 +295,72 @@ def clean_ff_couplings(s: CSR, vec: np.ndarray, col: int) -> int:
     return col
 
 
+def pmis_split_device(s: CSR, seed: int = 42) -> tuple[np.ndarray, int]:
+    """Device-resident PMIS: the whole round loop runs on the accelerator.
+
+    Same semantics as :func:`pmis_split` (measure = S in-degree + random
+    tie-break; dominating undecided points become C, their strong
+    dependents become F) but expressed as a ``lax.while_loop`` over
+    ``segment_max`` rounds — no host round-trips, so the splitting can run
+    where a sharded operator lives (the pod-scale path; VERDICT r1 weak-5).
+    The random stream differs from the numpy version, so partitions are
+    valid-but-not-identical across the two implementations.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = s.n_rows
+    st = s.transpose()
+    indeg = (st.indptr[1:] - st.indptr[:-1]).astype(np.float64)
+
+    rows_s = jnp.asarray(s.row_indices, dtype=jnp.int32)
+    cols_s = jnp.asarray(s.indices, dtype=jnp.int32)
+    rows_t = jnp.asarray(st.row_indices, dtype=jnp.int32)
+    cols_t = jnp.asarray(st.indices, dtype=jnp.int32)
+
+    key = jax.random.PRNGKey(seed)
+    lam = jnp.asarray(indeg) + jax.random.uniform(key, (n,), dtype=jnp.float32
+                                                  ).astype(jnp.float64)
+
+    vec0 = np.full(n, UNPT, dtype=np.int32)
+    isolated = s.indptr[1:] == s.indptr[:-1]
+    no_in = st.indptr[1:] == st.indptr[:-1]
+    vec0[isolated & no_in] = ISPT
+    vec0[isolated & ~no_in] = FGPT
+    vec0 = jnp.asarray(vec0)
+
+    neg_inf = jnp.float64(-np.inf)
+
+    def cond(vec):
+        return jnp.any(vec == UNPT)
+
+    def body(vec):
+        und = vec == UNPT
+        both_s = und[rows_s] & und[cols_s]
+        both_t = und[rows_t] & und[cols_t]
+        nb1 = jax.ops.segment_max(
+            jnp.where(both_s, lam[cols_s], neg_inf), rows_s,
+            num_segments=n, indices_are_sorted=True)
+        nb2 = jax.ops.segment_max(
+            jnp.where(both_t, lam[cols_t], neg_inf), rows_t,
+            num_segments=n, indices_are_sorted=True)
+        nb_max = jnp.maximum(nb1, nb2)
+        new_c = und & (lam > nb_max)
+        # deadlock net (exact float ties): promote the global undecided max
+        gmax = jnp.argmax(jnp.where(und, lam, neg_inf))
+        fallback = jnp.zeros_like(new_c).at[gmax].set(True) & und
+        new_c = jnp.where(jnp.any(new_c), new_c, fallback)
+        vec2 = jnp.where(new_c, CGPT, vec)
+        # strong dependents of new C -> F (duplicates write the same value)
+        f_idx = jnp.where(new_c[rows_t] & (vec2[cols_t] == UNPT),
+                          cols_t, n)
+        return vec2.at[f_idx].set(FGPT, mode="drop")
+
+    vec = np.asarray(jax.jit(lambda v: lax.while_loop(cond, body, v))(vec0))
+    return vec.astype(np.int64), int((vec == CGPT).sum())
+
+
 def pmis_split(s: CSR, seed: int = 42) -> tuple[np.ndarray, int]:
     """PMIS splitting: parallel maximal-independent-set coarsening.
 

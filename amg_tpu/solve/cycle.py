@@ -62,6 +62,9 @@ def _cycle_level(mg: Hierarchy, l: int, x, b, pars: AMGParams, ctol):
     # where masked GS would cost n_colors operator passes per sweep)
     pars_l = pars if (l == 0 or pars.coarse_smoother is None) \
         else pars.replace(smoother=pars.coarse_smoother)
+    if pars.poly_deg_schedule is not None:
+        sched = pars.poly_deg_schedule
+        pars_l = pars_l.replace(poly_deg=sched[min(l, len(sched) - 1)])
 
     for _ in range(repeats):
         # pre-smoothing

