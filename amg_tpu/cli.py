@@ -164,10 +164,13 @@ def main(argv=None) -> int:
 
     # persistent compile cache: the unrolled V-cycle program can take
     # minutes to compile through a remote-compile tunnel
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("AMG_TPU_COMPILE_CACHE",
-                                     "/tmp/amg_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if "AMG_TPU_COMPILE_CACHE" in os.environ:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["AMG_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    else:
+        from amg_tpu.compile_cache import enable as _enable_cache
+        _enable_cache()
 
     args = build_argparser().parse_args(argv)
     pars = params_from_args(args)

@@ -480,6 +480,23 @@ def _embed_csr_cached(m: CSR, row_emb, col_emb, n0: int, cache) -> CSR:
     return out
 
 
+def resolved_embed_levels(pars: AMGParams) -> int:
+    """Resolve ``pars.embed_levels`` (-1 = auto: embed on TPU only).
+
+    Fine-grid embedding trades gathers for streamed wide-DIA stencils —
+    a win exactly where the Pallas window kernel runs (TPU).  On CPU the
+    same layout is slower to run and catastrophically slow for XLA:CPU
+    to compile, so auto resolves to 0 there.
+    """
+    if pars.embed_levels >= 0:
+        return pars.embed_levels
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    return 8 if backend == "tpu" else 0
+
+
 def embedding_plan(hh: HostHierarchy, pars: AMGParams):
     """Decide how deep the fine-grid embedding goes.
 
@@ -505,7 +522,8 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
         cpos = np.flatnonzero(np.asarray(cf) == CGPT)
         emb.append(emb[len(emb) - 1][cpos])
 
-    if pars.embed_levels <= 0 or nl < 2:
+    embed_levels = resolved_embed_levels(pars)
+    if embed_levels <= 0 or nl < 2:
         return 0, emb, None
     # level 0 must itself be a banded (Dia) operator for stencil embedding
     if _pick_format(hh.a[0], pars) != "dia":
@@ -531,7 +549,7 @@ def embedding_plan(hh: HostHierarchy, pars: AMGParams):
     spent = 0.0
     # level l is embeddable if A_l, P_{l-1}, R_{l-1} all stay within the
     # stencil cap; the coarsest level always stays compact (dense inverse)
-    for l in range(1, min(pars.embed_levels + 1, nl - 1)):
+    for l in range(1, min(embed_levels + 1, nl - 1)):
         if l >= len(emb):
             break
         nd_a = _num_offsets_embedded(hh.a[l], emb[l], emb[l], hist_cache)
@@ -1011,10 +1029,23 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     pad_c = pads[-1]
     inv_dtype = np.dtype(dtype) if np.dtype(dtype) in (
         np.dtype(np.float32), np.dtype(np.float64)) else np.float32
-    try:
-        inv = np.linalg.inv(ac.to_dense().astype(inv_dtype))
-    except np.linalg.LinAlgError:
-        inv = np.linalg.pinv(ac.to_dense().astype(inv_dtype))
+    inv = None
+    if ac.n_rows > 2048 and jax.default_backend() == "tpu":
+        # large coarsest level (tail collapsed via pars.coarse_dof): the
+        # O(n^3) LAPACK inverse would dominate host setup (~90 s at 6k
+        # rows on one core); the MXU does it in well under a second
+        try:
+            ad = jnp.asarray(ac.to_dense().astype(inv_dtype))
+            inv_d = jax.jit(jnp.linalg.inv)(ad)
+            if bool(jnp.all(jnp.isfinite(inv_d))):
+                inv = np.asarray(inv_d)
+        except Exception:  # pragma: no cover - fall through to host path
+            inv = None
+    if inv is None:
+        try:
+            inv = np.linalg.inv(ac.to_dense().astype(inv_dtype))
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(ac.to_dense().astype(inv_dtype))
     full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
     full[: ac.n_rows, : ac.n_cols] = inv
     return Hierarchy(

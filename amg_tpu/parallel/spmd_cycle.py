@@ -302,6 +302,11 @@ class SpmdAMGSolver:
         self.a = a
         # BandedBlocks levels sit below the embedded boundary (l > E), so
         # they run in the replicated compact tail — same single-chip code
+        if pars.embed_levels < 0:
+            # this solver IS the embedded-hierarchy distribution path:
+            # resolve auto embedding to "on" on every backend (the CPU
+            # auto default is 0, which would make setup un-shardable)
+            pars = pars.replace(embed_levels=8)
         self.pars = pars
         mg, hh = setup(a, pars, log=log)
         self.host_hierarchy = hh

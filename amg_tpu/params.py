@@ -169,7 +169,14 @@ class AMGParams:
     # streamed bytes per operator pass.  Levels stop embedding when the
     # stencil grows past `embed_max_diags` or the budget; unstructured
     # problems fall back to compact formats automatically.
-    embed_levels: int = 8
+    # -1 = auto: 8 on TPU (where the Pallas window kernel makes streaming
+    # embedded stencils the fast path), 0 elsewhere (on CPU the compact
+    # gather formats are both faster to run AND orders of magnitude faster
+    # for XLA:CPU to compile — a GS sweep over an embedded wide-DIA level
+    # lowers to thousands of fused slices and was measured at 200+ s of
+    # LLVM time for a 1k-row problem).  Explicit values force the choice
+    # on any backend (the emulated-mesh shard_map tests do this).
+    embed_levels: int = -1
     embed_max_diags: int = 320
     embed_max_bytes: float = 6e9
     # Boundary between the embedded and compact worlds: "embedded" applies

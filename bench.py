@@ -49,10 +49,13 @@ def main():
 
     # persistent compile cache: the unrolled V-cycle program is expensive to
     # compile (minutes through a remote-compile tunnel); cache across runs
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("AMG_TPU_COMPILE_CACHE",
-                                     "/tmp/amg_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if "AMG_TPU_COMPILE_CACHE" in os.environ:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["AMG_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    else:
+        from amg_tpu.compile_cache import enable as _enable_cache
+        _enable_cache()
 
     import jax.numpy as jnp
     import amg_tpu as amg
@@ -100,7 +103,14 @@ def main():
     sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.005"))
     sparsify_from = int(os.environ.get("AMG_BENCH_SPARSIFY_FROM", "2"))
     banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "2.5e9"))
+    # collapse the deep dense tail into one MXU inverse apply: stop
+    # coarsening at ~coarse_dof rows and solve that level directly (the
+    # sub-10k dense levels cost more in per-op dispatch overhead than
+    # their arithmetic; one n_c^2 matmul replaces 2-3 levels of
+    # smoothing + transfers)
+    coarse_dof = int(os.environ.get("AMG_BENCH_COARSE_DOF", "7000"))
     pars = amg.AMGParams(
+        coarse_dof=coarse_dof,
         embed_max_bytes=embed_bytes,
         coarse_sparsify=sparsify,
         sparsify_from_level=sparsify_from,
@@ -131,7 +141,8 @@ def main():
                   else "")
                + (f"_sf{pars.sparsify_from_level}"
                   if pars.coarse_sparsify
-                  and pars.sparsify_from_level != 3 else ""))
+                  and pars.sparsify_from_level != 3 else "")
+               + (f"_cd{pars.coarse_dof}" if pars.coarse_dof != 10 else ""))
         cache_path = f"/tmp/amg_bench_hier_{key}.npz"
         if os.path.exists(cache_path):
             t0 = time.perf_counter()

@@ -79,10 +79,13 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("AMG_TPU_COMPILE_CACHE",
-                                     "/tmp/amg_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if "AMG_TPU_COMPILE_CACHE" in os.environ:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["AMG_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    else:
+        from amg_tpu.compile_cache import enable as _enable_cache
+        _enable_cache()
 
     import numpy as np
     import amg_tpu as amg

@@ -21,8 +21,9 @@ import pytest  # noqa: E402
 # to compile; cache them across test runs
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/amg_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from amg_tpu.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")

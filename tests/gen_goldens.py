@@ -24,8 +24,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/amg_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from amg_tpu.compile_cache import enable as _enable_cache
+
+_enable_cache()
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 GOLD = os.path.join(DATA, "golden")

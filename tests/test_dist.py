@@ -175,7 +175,7 @@ def test_spmd_cycle_matches_single_device():
 
     a = amg.poisson3d(16)  # 4096 rows, embeds on a banded level-0
     b = np.random.default_rng(29).standard_normal(a.n_rows)
-    pars = AMGParams(verbose=0, tol=1e-8,
+    pars = AMGParams(verbose=0, tol=1e-8, embed_levels=8,
                      coarse_smoother=SmootherType.CHEBYSHEV)
     ref = amg.AMGSolver(a, pars, log=lambda *x: None)
     x1, i1 = ref.solve(b)

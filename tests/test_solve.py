@@ -412,7 +412,7 @@ def test_embedded_levels_match_compact():
 
     a = amg.poisson3d(14)
     b = np.random.default_rng(11).standard_normal(a.n_rows)
-    pars_e = AMGParams(tol=1e-10, verbose=0)
+    pars_e = AMGParams(tol=1e-10, verbose=0, embed_levels=8)
     s_e = amg.AMGSolver(a, pars_e, log=lambda *x: None)
     # the plan must actually embed at least level 1 on a 3D stencil
     assert s_e.mg.levels[1].pad == s_e.mg.levels[0].pad
@@ -433,7 +433,7 @@ def test_embedded_chebyshev_coarse():
 
     a = amg.poisson3d(14)
     b = np.ones(a.n_rows)
-    pars = AMGParams(tol=1e-8, verbose=0,
+    pars = AMGParams(tol=1e-8, verbose=0, embed_levels=8,
                      coarse_smoother=SmootherType.CHEBYSHEV)
     s = amg.AMGSolver(a, pars, log=lambda *x: None)
     x, info = s.solve(b)
@@ -449,7 +449,7 @@ def test_embedded_spmv_matches_compact():
     from amg_tpu.ops.spmv import spmv
 
     a = amg.poisson3d(10)
-    pars = AMGParams(verbose=0)
+    pars = AMGParams(verbose=0, embed_levels=8)
     hh = setup_host(a, pars, log=lambda *x: None)
     plan = embedding_plan(hh, pars)
     E, emb = plan[0], plan[1]
