@@ -178,6 +178,7 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
     """
     t0 = time.perf_counter()
     min_cdof = max(pars.coarse_dof, MIN_CDOF)
+    stop_rows = max(min_cdof, pars.coarse_stop_rows)
     max_lvls = pars.max_levels
 
     mats = [a]
@@ -187,7 +188,7 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
     cs_type = pars.cs_type
 
     lvl = 0
-    while mats[lvl].n_rows > min_cdof and lvl < max_lvls - 1:
+    while mats[lvl].n_rows > stop_rows and lvl < max_lvls - 1:
         al = mats[lvl]
         s = strength_matrix(al, pars.strong_threshold, pars.max_row_sum)
 
@@ -1035,7 +1036,7 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         # O(n^3) LAPACK inverse would dominate host setup (~90 s at 6k
         # rows on one core); the MXU does it in well under a second
         try:
-            ad = jnp.asarray(ac.to_dense().astype(inv_dtype))
+            ad = jnp.asarray(ac.to_dense(inv_dtype))
             inv_d = jax.jit(jnp.linalg.inv)(ad)
             if bool(jnp.all(jnp.isfinite(inv_d))):
                 inv = np.asarray(inv_d)
@@ -1043,9 +1044,9 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
             inv = None
     if inv is None:
         try:
-            inv = np.linalg.inv(ac.to_dense().astype(inv_dtype))
+            inv = np.linalg.inv(ac.to_dense(inv_dtype))
         except np.linalg.LinAlgError:
-            inv = np.linalg.pinv(ac.to_dense().astype(inv_dtype))
+            inv = np.linalg.pinv(ac.to_dense(inv_dtype))
     full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
     full[: ac.n_rows, : ac.n_cols] = inv
     return Hierarchy(

@@ -236,6 +236,14 @@ class AMGParams:
     # (exact Galerkin parity with the reference).
     coarse_sparsify: float = 0.0
     sparsify_from_level: int = 3
+    # Stop coarsening once a level has at most this many rows (0 = off,
+    # i.e. reference behavior: coarsen down to ~coarse_dof).  Unlike
+    # coarse_dof — whose "col < coarse_dof" check DISCARDS the offending
+    # coarse level (amg/Setup/SSS_SETUP.cu:92-98) — this keeps the level
+    # and makes it the coarsest.  Used to collapse the deep dense tail
+    # into one MXU inverse apply: the sub-10k levels cost more in per-op
+    # dispatch overhead than their arithmetic.
+    coarse_stop_rows: int = 0
     # Multi-device settings
     coarse_replicate_nnz: int = 65536  # replicate levels below this nnz/chip
 

@@ -215,11 +215,11 @@ class CSR:
         np.add.at(y, rows, prod)
         return y
 
-    def to_dense(self) -> np.ndarray:
-        out = np.zeros(self.shape, dtype=np.float64)
+    def to_dense(self, dtype=np.float64) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=dtype)
         rows = np.repeat(np.arange(self.n_rows, dtype=np.int64), self.row_degrees)
         # duplicates (shouldn't exist) would overwrite; fine for tests
-        np.add.at(out, (rows, self.indices), self.data)
+        np.add.at(out, (rows, self.indices), self.data.astype(dtype, copy=False))
         return out
 
     def sort_indices(self) -> "CSR":

@@ -104,13 +104,13 @@ def main():
     sparsify_from = int(os.environ.get("AMG_BENCH_SPARSIFY_FROM", "2"))
     banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "2.5e9"))
     # collapse the deep dense tail into one MXU inverse apply: stop
-    # coarsening at ~coarse_dof rows and solve that level directly (the
-    # sub-10k dense levels cost more in per-op dispatch overhead than
-    # their arithmetic; one n_c^2 matmul replaces 2-3 levels of
-    # smoothing + transfers)
-    coarse_dof = int(os.environ.get("AMG_BENCH_COARSE_DOF", "7000"))
+    # coarsening once a level is <= this many rows and solve it directly
+    # (the sub-10k dense levels cost more in per-op dispatch overhead
+    # than their arithmetic; one n_c^2 matmul replaces 2-3 levels of
+    # smoothing + transfers).  0 restores reference-style deep coarsening.
+    coarse_stop = int(os.environ.get("AMG_BENCH_COARSE_STOP", "7000"))
     pars = amg.AMGParams(
-        coarse_dof=coarse_dof,
+        coarse_stop_rows=coarse_stop,
         embed_max_bytes=embed_bytes,
         coarse_sparsify=sparsify,
         sparsify_from_level=sparsify_from,
@@ -142,7 +142,8 @@ def main():
                + (f"_sf{pars.sparsify_from_level}"
                   if pars.coarse_sparsify
                   and pars.sparsify_from_level != 3 else "")
-               + (f"_cd{pars.coarse_dof}" if pars.coarse_dof != 10 else ""))
+               + (f"_cd{pars.coarse_stop_rows}"
+                  if pars.coarse_stop_rows else ""))
         cache_path = f"/tmp/amg_bench_hier_{key}.npz"
         if os.path.exists(cache_path):
             t0 = time.perf_counter()
@@ -224,8 +225,9 @@ def _level_spmv_bench(li, lvl, spmv, log, hbm_gbps):
         log(f"spmv L{li} [{name}] {tb/1e6:6.1f} MB/apply: "
             "latency-bound at this size, not measured")
         return
-    # distinct copies totaling >= ~8x VMEM so values cannot stay resident
-    ncopy = max(1, min(12, math.ceil(128e6 / tb)))
+    # distinct copies totaling >= ~4x VMEM (v5e VMEM = 128 MB) so values
+    # cannot stay resident across chained applies
+    ncopy = max(1, min(24, math.ceil(512e6 / tb)))
     ops = [op] + [
         jax.tree_util.tree_map(
             lambda v: jnp.array(v, copy=True) if hasattr(v, "dtype") else v,
