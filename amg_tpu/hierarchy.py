@@ -11,6 +11,7 @@ entire solve phase runs under ``jit`` with zero host<->device traffic.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Tuple
 
@@ -1062,12 +1063,23 @@ def setup(a: CSR, pars: AMGParams, log=print,
     Pass a pre-built (e.g. checkpoint-restored) ``hh`` to skip the host
     coarsening and go straight to the device pack.
     """
+    t = time.perf_counter()
     if hh is None:
         hh = setup_host(a, pars, log=log)
+    t_host = time.perf_counter() - t
+    t = time.perf_counter()
     plan = embedding_plan(hh, pars)
+    t_plan = time.perf_counter() - t
+    t = time.perf_counter()
     if pars.reorder_gs:
         reorder_for_gs(hh, pars, skip_levels=plan[0])
+    t_reorder = time.perf_counter() - t
+    t = time.perf_counter()
     mg = to_device(hh, pars, plan=plan)
+    t_pack = time.perf_counter() - t
+    if os.environ.get("AMG_SETUP_TIMERS", "0") == "1":
+        log(f"setup phases: host {t_host:.2f}s, plan {t_plan:.2f}s, "
+            f"reorder {t_reorder:.2f}s, pack {t_pack:.2f}s")
     if pars.verbose:
         log(complexity_print(hh))
         log(f"AMG setup time: {hh.setup_seconds:g} s")

@@ -109,7 +109,12 @@ def main():
     # than their arithmetic; one n_c^2 matmul replaces 2-3 levels of
     # smoothing + transfers).  0 restores reference-style deep coarsening.
     coarse_stop = int(os.environ.get("AMG_BENCH_COARSE_STOP", "7000"))
+    # e.g. "3,3,2,1": per-level Chebyshev/POLY degree (lighter at depth)
+    sched_env = os.environ.get("AMG_BENCH_POLY_SCHED", "")
+    poly_sched = (tuple(int(t) for t in sched_env.split(","))
+                  if sched_env else None)
     pars = amg.AMGParams(
+        poly_deg_schedule=poly_sched,
         coarse_stop_rows=coarse_stop,
         embed_max_bytes=embed_bytes,
         coarse_sparsify=sparsify,

@@ -7,7 +7,14 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS: the suite's numerics
+# (golden residual histories) are pinned on CPU f64, and a machine-level
+# JAX_PLATFORMS=tpu/axon would silently route every test through one real
+# chip.  Set AMG_TEST_PLATFORM to run the suite elsewhere on purpose.
+os.environ["JAX_PLATFORMS"] = os.environ.get("AMG_TEST_PLATFORM", "cpu")
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    # an axon TPU-pool connection can block interpreter startup; drop it
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
