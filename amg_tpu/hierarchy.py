@@ -619,8 +619,10 @@ def _embedded_level(
         else jnp.dtype(pars.coarse_op_dtype)
 
     if l == 0:
-        a_dev = Dia.from_csr(al, dtype=dtype, pad_rows_to=pad0) \
-            if _pick_format(al, pars) == "dia" else None
+        a_dev = Dia.from_csr(
+            al, dtype=dtype, pad_rows_to=pad0,
+            blocked=_dia_blocked(al, pad0, dtype),
+        ) if _pick_format(al, pars) == "dia" else None
         if a_dev is None:
             raise ValueError("embedded hierarchy requires a banded A_0")
     else:
@@ -628,7 +630,7 @@ def _embedded_level(
         a_emb = _embed_csr_cached(al, rl, rl, n0, hist_cache)
         a_dev = Dia.from_csr(
             a_emb, dtype=op_dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(Dia.num_offsets(a_emb), pad0, op_dtype),
+            blocked=_dia_blocked(a_emb, pad0, op_dtype),
         )
 
     p_dev = r_dev = None
@@ -654,11 +656,11 @@ def _embedded_level(
         r_emb = _embed_csr_cached(hh.r[l], cl, rl, n0, hist_cache)
         p_dev = Dia.from_csr(
             p_emb, dtype=pr_dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(Dia.num_offsets(p_emb), pad0, pr_dtype),
+            blocked=_dia_blocked(p_emb, pad0, pr_dtype),
         )
         r_dev = Dia.from_csr(
             r_emb, dtype=pr_dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(Dia.num_offsets(r_emb), pad0, pr_dtype),
+            blocked=_dia_blocked(r_emb, pad0, pr_dtype),
         )
         if l == E:
             # boundary to the compact world: next level's rows live at
@@ -745,21 +747,25 @@ def sparsify_operator(a: CSR, threshold: float) -> CSR:
     return CSR(indptr, new_cols, data, a.shape)
 
 
-def _dia_blocked(nd: int, pad: int, dtype) -> bool:
+def _dia_blocked(m: CSR, pad: int, dtype) -> bool:
     """Store a Dia operator in the Pallas kernel's (nd, pad//128, 128)
-    layout when that kernel will be the consumer: wide band, TPU, single
-    device, tile-divisible pad.  Packing in the final layout avoids the
-    apply-time relayout that materializes full copies of multi-GB
-    operands (OOM at 10M rows)."""
+    layout when that kernel will be the consumer (TPU, single device,
+    profitable band/tile — :func:`pallas_dia.will_use`).  Packing in the
+    final layout avoids the apply-time relayout that materializes full
+    copies of multi-GB operands (OOM at 10M rows)."""
     from .ops import pallas_dia
+    from .sparse import Dia as _Dia
 
-    return (
-        pallas_dia._platform() == "tpu"
-        and jax.device_count() == 1
-        and nd >= pallas_dia.MIN_DIAGS
-        and pad % pallas_dia.TILE == 0
-        and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
-    )
+    if not (pallas_dia._platform() == "tpu" and jax.device_count() == 1):
+        return False
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
+    if m.nnz == 0:
+        return False
+    offsets = tuple(int(o) for o in _Dia._offset_hist(m)[1])
+    # the cycle's vectors run in f32 whenever values are bf16
+    x_dt = jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16 else jnp.dtype(dtype)
+    return pallas_dia.will_use(offsets, pad, jnp.dtype(dtype), x_dt)
 
 
 def _needs_groups(pars: AMGParams, is_coarse: bool) -> bool:
@@ -875,7 +881,7 @@ def _level_from_csr(
     if fmt == "dia":
         a_dev = Dia.from_csr(
             al, dtype=op_dtype, pad_rows_to=pad,
-            blocked=_dia_blocked(Dia.num_offsets(al), pad, op_dtype),
+            blocked=_dia_blocked(al, pad, op_dtype),
         )
     elif fmt == "banded":
         a_dev = BandedBlocks.from_csr(al, dtype=op_dtype, nb=banded_nb,
@@ -993,35 +999,47 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     ]
     pad0 = pads[0]
     if E >= 1 and hh.a[0].n_rows >= 65536:
-        # tile-align the shared embedded pad so the Pallas wide-DIA kernel
-        # applies to the embedded coarse operators
-        from .ops.pallas_dia import TILE
+        # tile-align the shared embedded pad so the Pallas DIA window
+        # kernel applies to level 0 and the embedded coarse operators;
+        # good_pad unlocks the largest kernel tile within a ~2.5% row
+        # overhead (narrow stencils need big tiles to beat XLA's
+        # shifted-slice path -- see pallas_dia._pick_tile)
+        from .ops.pallas_dia import good_pad
 
-        pad0 = _round_up(pad0, TILE)
+        pad0 = good_pad(pad0)
         pads[0] = pad0
     for l in range(1, E + 1):
         pads[l] = pad0
 
+    timers = os.environ.get("AMG_SETUP_TIMERS", "0") == "1"
     levels = []
     for l in range(nl):
+        t_l = time.perf_counter()
         if E >= 1 and l <= E:
             pad_next = pads[l + 1] if l < nl - 1 else None
             levels.append(
                 _embedded_level(hh, l, E, emb, pad0, pad_next, dtype, pars,
                                 boundary=boundary)
             )
-            continue
-        p = hh.p[l] if l < nl - 1 else None
-        r = hh.r[l] if l < nl - 1 else None
-        cf = hh.cfmark[l] if l < len(hh.cfmark) else None
-        pad_coarse = pads[l + 1] if l < nl - 1 else None
-        gs_key = hh.gs_key[l] if hh.gs_key is not None else None
-        levels.append(
-            _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype,
-                            pars, gs_key=gs_key, is_coarse=l >= 1,
-                            banded_nb=(hh.banded_nb[l]
-                                       if hh.banded_nb is not None else None))
-        )
+        else:
+            p = hh.p[l] if l < nl - 1 else None
+            r = hh.r[l] if l < nl - 1 else None
+            cf = hh.cfmark[l] if l < len(hh.cfmark) else None
+            pad_coarse = pads[l + 1] if l < nl - 1 else None
+            gs_key = hh.gs_key[l] if hh.gs_key is not None else None
+            levels.append(
+                _level_from_csr(hh.a[l], p, r, cf, pads[l], pad_coarse, dtype,
+                                pars, gs_key=gs_key, is_coarse=l >= 1,
+                                banded_nb=(hh.banded_nb[l]
+                                           if hh.banded_nb is not None
+                                           else None))
+            )
+        if timers:
+            for v in jax.tree_util.tree_leaves(levels[-1]):
+                if hasattr(v, "block_until_ready"):
+                    v.block_until_ready()
+            print(f"  pack level {l}: {time.perf_counter() - t_l:.2f}s",
+                  flush=True)
 
     # dense inverse of the coarsest operator.  The result is stored (and
     # applied) in the solve dtype, so invert in that dtype directly: at a
@@ -1031,28 +1049,47 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     pad_c = pads[-1]
     inv_dtype = np.dtype(dtype) if np.dtype(dtype) in (
         np.dtype(np.float32), np.dtype(np.float64)) else np.float32
-    inv = None
+    coarse_inv = None
+    t_inv = time.perf_counter()
     if ac.n_rows > 2048 and jax.default_backend() == "tpu":
-        # large coarsest level (tail collapsed via pars.coarse_dof): the
-        # O(n^3) LAPACK inverse would dominate host setup (~90 s at 6k
-        # rows on one core); the MXU does it in well under a second
+        # large coarsest level (tail collapsed via pars.coarse_stop_rows):
+        # the O(n^3) LAPACK inverse would dominate host setup (~90 s at 6k
+        # rows on one core); the MXU does it in well under a second.
+        # Everything — inverse, padding, finiteness validation — runs in
+        # ONE jitted program and only a scalar flag comes back: through a
+        # remote-execution relay, eager ops each pay a fresh remote
+        # compile (measured 285 s for an eager isfinite/all pair) and a
+        # 164 MB inverse round-trips in anywhere from 7 s to 148 s.
         try:
+            def _inv_pad(ad):
+                inv_d = jnp.linalg.inv(ad)
+                ok = jnp.all(jnp.isfinite(inv_d))
+                full_d = jnp.zeros((pad_c, pad_c), dtype=np.dtype(dtype))
+                full_d = jax.lax.dynamic_update_slice(
+                    full_d, inv_d.astype(np.dtype(dtype)), (0, 0))
+                return full_d, ok
+
             ad = jnp.asarray(ac.to_dense(inv_dtype))
-            inv_d = jax.jit(jnp.linalg.inv)(ad)
-            if bool(jnp.all(jnp.isfinite(inv_d))):
-                inv = np.asarray(inv_d)
+            full_d, ok = jax.jit(_inv_pad)(ad)
+            if bool(ok):
+                coarse_inv = full_d
         except Exception:  # pragma: no cover - fall through to host path
-            inv = None
-    if inv is None:
+            coarse_inv = None
+    if coarse_inv is None:
         try:
             inv = np.linalg.inv(ac.to_dense(inv_dtype))
         except np.linalg.LinAlgError:
             inv = np.linalg.pinv(ac.to_dense(inv_dtype))
-    full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
-    full[: ac.n_rows, : ac.n_cols] = inv
-    return Hierarchy(
-        levels=tuple(levels), coarse_inv=jnp.asarray(full.astype(np.dtype(dtype)))
-    )
+        if not np.all(np.isfinite(inv)):
+            inv = np.linalg.pinv(ac.to_dense(inv_dtype))
+        full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
+        full[: ac.n_rows, : ac.n_cols] = inv
+        coarse_inv = jnp.asarray(full.astype(np.dtype(dtype)))
+    if timers:
+        coarse_inv.block_until_ready()
+        print(f"  pack coarse inverse: {time.perf_counter() - t_inv:.2f}s",
+              flush=True)
+    return Hierarchy(levels=tuple(levels), coarse_inv=coarse_inv)
 
 
 def setup(a: CSR, pars: AMGParams, log=print,

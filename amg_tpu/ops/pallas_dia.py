@@ -28,12 +28,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows per grid step; level pads are rounded to this so the grid divides
-# evenly (see hierarchy.to_device)
+# minimum rows per grid step; level pads are rounded so the grid divides
+# evenly (see hierarchy.to_device).  The actual tile is chosen PER OPERATOR
+# by _pick_tile: the x-window read amplification of a tile is
+# (tile + band span) / tile, so NARROW stencils with a wide span (e.g. the
+# 7-point Poisson operator, span 2n^2) need a much larger tile than the
+# VMEM-bound wide embedded stencils (200+ diagonals) that cap it at 4096.
 TILE = 4096
-_T128 = TILE // 128
-# use the kernel only when the band is wide enough that x re-reads dominate
-MIN_DIAGS = 32
+# candidate tiles, largest first (largest fitting tile wins: least x
+# re-reading, fewest DMA trips); all divide one another so a pad rounded
+# to a big tile still offers the smaller ones for VMEM-bound operators
+TILES = (40960, 20480, 8192, TILE)
+# narrowest band the kernel accepts (below this XLA's fused shifted
+# slices are already at speed of light)
+MIN_DIAGS = 3
 # VMEM ceiling for (double-buffered vals tile + x window)
 _VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -45,11 +53,56 @@ def _platform() -> str:
         return "cpu"
 
 
-def _window_rows(lo: int, hi: int) -> int:
-    # rows needed: TILE/128 + ceil((lo+hi)/128) + 1 carry row, rounded so the
+def _window_rows(lo: int, hi: int, tile: int = TILE) -> int:
+    # rows needed: tile/128 + ceil((lo+hi)/128) + 1 carry row, rounded so the
     # VMEM scratch stays (8,128)-tile aligned
-    w = ((TILE + lo + hi + 128 + 1023) // 1024) * 1024
+    w = ((tile + lo + hi + 128 + 1023) // 1024) * 1024
     return w // 128
+
+
+def _tile_vmem(nd, lo, hi, tile, vals_itemsize, x_itemsize, kb=1):
+    """VMEM bytes of one grid step: double-buffered vals tile +
+    double-buffered x window scratch + output tile."""
+    return (
+        2 * nd * tile * vals_itemsize
+        + 2 * kb * _window_rows(lo, hi, tile) * 128 * x_itemsize
+        + 2 * kb * tile * x_itemsize
+    )
+
+
+def _pick_tile(nd, lo, hi, vals_itemsize, x_itemsize, pad, kb=1):
+    """Largest candidate tile that divides ``pad`` and fits VMEM
+    (None if none does)."""
+    for t in TILES:
+        if pad % t == 0 and t <= pad and _tile_vmem(
+                nd, lo, hi, t, vals_itemsize, x_itemsize, kb) <= _VMEM_BUDGET:
+            return t
+    return None
+
+
+def _wins_vs_xla(nd, lo, hi, tile, vals_itemsize, x_itemsize) -> bool:
+    """Estimated HBM traffic of the window kernel vs the XLA shifted-slice
+    path.  XLA re-reads x once per diagonal; the kernel reads each tile's
+    window once, amplification (tile + span)/tile.  Wide bands always win;
+    narrow bands win only when the tile is large relative to the span."""
+    if nd >= 32:
+        return True
+    amp = _window_rows(lo, hi, tile) * 128 / tile
+    pallas_b = nd * vals_itemsize + (amp + 1.0) * x_itemsize
+    xla_b = nd * vals_itemsize + (nd + 1.0) * x_itemsize
+    return pallas_b <= 0.9 * xla_b
+
+
+def good_pad(n: int, max_overhead: float = 0.025) -> int:
+    """Row padding that unlocks the largest kernel tile within a relative
+    overhead budget (hierarchy packing uses this for the shared embedded
+    pad)."""
+    best = ((n + TILE - 1) // TILE) * TILE
+    for t in TILES:
+        p = ((n + t - 1) // t) * t
+        if n > 0 and (p - n) / n <= max_overhead:
+            return p
+    return best
 
 
 # bf16-multiply mode for mixed bf16-values/f32-x kernels: convert the x
@@ -63,15 +116,23 @@ _BF16_MUL = os.environ.get("AMG_DIA_BF16_MUL", "1") == "1"
 
 @functools.lru_cache(maxsize=None)
 def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
-           interpret=False, bf16_mul=None):
+           interpret=False, bf16_mul=None, tile=TILE):
     dtype = jnp.dtype(dtype_name)
     vals_dtype = jnp.dtype(vals_dtype_name)
     nd = len(offsets)
-    wrows = _window_rows(lo, hi)
-    ntiles = pad // TILE
+    wrows = _window_rows(lo, hi, tile)
+    ntiles = pad // tile
+    _T128 = tile // 128
     if bf16_mul is None:
         bf16_mul = _BF16_MUL
-    bf16_mul = (bf16_mul and vals_dtype == jnp.bfloat16
+    # bf16 multiplies only pay off on WIDE bands, where up-converting every
+    # value plane was measured compute-bound (ROADMAP, nd~200).  Narrow
+    # bands are bandwidth-bound either way (the values are bf16 in HBM
+    # regardless); multiplying in f32 there costs nothing and keeps the
+    # product exact, which measurably preserves smoother strength (a 1M
+    # solve went 8 -> 12 cycles with bf16 products on the 19-diagonal
+    # embedded level-1 operator).
+    bf16_mul = (bf16_mul and nd >= 32 and vals_dtype == jnp.bfloat16
                 and dtype == jnp.float32)
 
     # everything index-typed as i32: the library enables jax x64 globally,
@@ -91,18 +152,57 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
         by_r.setdefault(r, []).append((k, q))
 
     def kernel(xp_hbm, vals_ref, out_ref, xw, sem):
+        # x window is double-buffered ACROSS grid steps: step i waits on the
+        # copy started at step i-1 and prefetches step i+1's window, so the
+        # window DMA overlaps the previous step's compute (the synchronous
+        # start/wait version stalled narrow-band operators, whose per-step
+        # compute is tiny, at ~40% of HBM speed of light).
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(i * i32(_T128), i32(wrows))], xw, sem
-        )
-        cp.start()
-        cp.wait()
+        n_steps = pl.num_programs(0)
+        slot = jax.lax.rem(i, i32(2))
+        nslot = jax.lax.rem(i + i32(1), i32(2))
+
+        @pl.when(i == 0)
+        def _():
+            pltpu.make_async_copy(
+                xp_hbm.at[pl.ds(0, i32(wrows))], xw.at[i32(0)], sem.at[i32(0)]
+            ).start()
+
+        @pl.when(i + i32(1) < n_steps)
+        def _():
+            pltpu.make_async_copy(
+                xp_hbm.at[pl.ds((i + i32(1)) * i32(_T128), i32(wrows))],
+                xw.at[nslot], sem.at[nslot],
+            ).start()
+
+        pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(i * i32(_T128), i32(wrows))], xw.at[slot],
+            sem.at[slot],
+        ).wait()
+        xwr = xw.at[slot]
         acc = jnp.zeros((_T128, 128), dtype)
         for r, items in by_r.items():
+            if r and len(items) == 1:
+                # single diagonal at this remainder (typical for narrow
+                # stencils): stitch only the T128 rows it reads, not the
+                # whole window
+                k, q = items[0]
+                xs = jnp.concatenate(
+                    [xwr[q:q + _T128, r:], xwr[q + 1:q + _T128 + 1, :r]],
+                    axis=1)
+                if bf16_mul:
+                    xs = xs.astype(jnp.bfloat16)
+                    acc = acc + (vals_ref[k] * xs).astype(dtype)
+                else:
+                    v = vals_ref[k]
+                    if vals_dtype != dtype:
+                        v = v.astype(dtype)
+                    acc = acc + v * xs
+                continue
             if r:
-                xs = jnp.concatenate([xw[:-1, r:], xw[1:, :r]], axis=1)
+                xs = jnp.concatenate([xwr[:-1, r:], xwr[1:, :r]], axis=1)
             else:
-                xs = xw[...] if bf16_mul else xw
+                xs = xwr[...]
             if bf16_mul:
                 xs = xs.astype(jnp.bfloat16)
             for k, q in items:
@@ -128,8 +228,8 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
         out_specs=pl.BlockSpec((_T128, 128), lambda i: (i, i32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((wrows, 128), dtype),            # x window
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, wrows, 128), dtype),         # x window (2 slots)
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nd * pad,
@@ -142,17 +242,19 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
 
 @functools.lru_cache(maxsize=None)
 def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
-                 interpret=False):
+                 interpret=False, tile=TILE):
     """Multi-rhs variant: the x window carries ``kb`` columns, the
     operator values stream ONCE for all of them (the whole point of the
     batched solver: SpMM-grade arithmetic intensity)."""
     dtype = jnp.dtype(dtype_name)
     vals_dtype = jnp.dtype(vals_dtype_name)
     nd = len(offsets)
-    wrows = _window_rows(lo, hi)
-    ntiles = pad // TILE
+    wrows = _window_rows(lo, hi, tile)
+    ntiles = pad // tile
+    _T128 = tile // 128
     i32 = jnp.int32
-    bf16_mul = (_BF16_MUL and vals_dtype == jnp.bfloat16
+    # same wide-band gate as _build (see comment there)
+    bf16_mul = (_BF16_MUL and nd >= 32 and vals_dtype == jnp.bfloat16
                 and dtype == jnp.float32)
 
     by_r: dict = {}
@@ -161,19 +263,37 @@ def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
         by_r.setdefault(r, []).append((k, q))
 
     def kernel(xp_hbm, vals_ref, out_ref, xw, sem):
+        # double-buffered window across grid steps, as in _build
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            xp_hbm.at[:, pl.ds(i * i32(_T128), i32(wrows))], xw, sem
-        )
-        cp.start()
-        cp.wait()
+        n_steps = pl.num_programs(0)
+        slot = jax.lax.rem(i, i32(2))
+        nslot = jax.lax.rem(i + i32(1), i32(2))
+
+        @pl.when(i == 0)
+        def _():
+            pltpu.make_async_copy(
+                xp_hbm.at[:, pl.ds(0, i32(wrows))], xw.at[i32(0)], sem.at[i32(0)]
+            ).start()
+
+        @pl.when(i + i32(1) < n_steps)
+        def _():
+            pltpu.make_async_copy(
+                xp_hbm.at[:, pl.ds((i + i32(1)) * i32(_T128), i32(wrows))],
+                xw.at[nslot], sem.at[nslot],
+            ).start()
+
+        pltpu.make_async_copy(
+            xp_hbm.at[:, pl.ds(i * i32(_T128), i32(wrows))], xw.at[slot],
+            sem.at[slot],
+        ).wait()
+        xwr = xw.at[slot]
         acc = jnp.zeros((kb, _T128, 128), dtype)
         for r, items in by_r.items():
             if r:
                 xs = jnp.concatenate(
-                    [xw[:, :-1, r:], xw[:, 1:, :r]], axis=2)
+                    [xwr[:, :-1, r:], xwr[:, 1:, :r]], axis=2)
             else:
-                xs = xw[...] if bf16_mul else xw
+                xs = xwr[...]
             if bf16_mul:
                 xs = xs.astype(jnp.bfloat16)
             for k, q in items:
@@ -200,8 +320,8 @@ def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
                                lambda i: (i32(0), i, i32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kb, wrows, 128), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, kb, wrows, 128), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nd * pad * kb,
@@ -223,26 +343,25 @@ def spmv_multi(a, xb: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     kb = xb.shape[0]
     lo = max(-min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
-    wrows = _window_rows(lo, hi)
-    xp_len = (pad // TILE - 1) * TILE + wrows * 128
+    tile = _pick_tile(len(a.offsets), lo, hi,
+                      jnp.dtype(a.vals.dtype).itemsize,
+                      jnp.dtype(xb.dtype).itemsize, pad, kb=kb) or TILE
+    wrows = _window_rows(lo, hi, tile)
+    xp_len = (pad // tile - 1) * tile + wrows * 128
     xp = jnp.pad(xb, ((0, 0), (lo, xp_len - lo - pad))).reshape(kb, -1, 128)
     vals3 = a.vals if a.vals.ndim == 3 \
         else a.vals.reshape(len(a.offsets), pad // 128, 128)
     fn = _build_multi(tuple(a.offsets), pad, lo, hi, kb, str(xb.dtype),
-                      str(a.vals.dtype), interpret=interpret)
+                      str(a.vals.dtype), interpret=interpret, tile=tile)
     return fn(xp, vals3).reshape(kb, pad)
 
 
 def _multi_fits(a, kb, dtype) -> bool:
     lo = max(-min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
-    nd = len(a.offsets)
-    vmem = (
-        2 * nd * TILE * jnp.dtype(a.vals.dtype).itemsize
-        + 2 * kb * _window_rows(lo, hi) * 128 * jnp.dtype(dtype).itemsize
-        + kb * TILE * jnp.dtype(dtype).itemsize
-    )
-    return vmem <= _VMEM_BUDGET
+    return _pick_tile(
+        len(a.offsets), lo, hi, jnp.dtype(a.vals.dtype).itemsize,
+        jnp.dtype(dtype).itemsize, a.padded_rows, kb=kb) is not None
 
 
 # --- vmap support ---------------------------------------------------------
@@ -272,8 +391,29 @@ def _spmv_vmap_rule(axis_size, in_batched, a, x):
     return jnp.stack(ys), True
 
 
+def will_use(offsets, pad, vals_dtype, x_dtype) -> bool:
+    """Backend-independent applicability + profitability of the kernel for
+    an operator with these offsets/pad/dtypes (shared by ``usable`` and by
+    hierarchy packing's blocked-layout decision)."""
+    nd = len(offsets)
+    if nd < MIN_DIAGS or not nd:
+        return False
+    if jnp.dtype(x_dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
+    if jnp.dtype(vals_dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
+    lo = max(-min(offsets), 0)
+    hi = max(max(offsets), 0)
+    vi = jnp.dtype(vals_dtype).itemsize
+    xi = jnp.dtype(x_dtype).itemsize
+    tile = _pick_tile(nd, lo, hi, vi, xi, pad)
+    if tile is None:
+        return False
+    return _wins_vs_xla(nd, lo, hi, tile, vi, xi)
+
+
 def usable(a, x) -> bool:
-    """Kernel applicability: TPU backend, wide band, tile-divisible pad,
+    """Kernel applicability: TPU backend, profitable band/tile combination,
     matching float dtype, VMEM fit."""
     if _platform() != "tpu":
         return False
@@ -282,23 +422,7 @@ def usable(a, x) -> bool:
     # the multi-chip path)
     if jax.device_count() > 1:
         return False
-    nd = len(a.offsets)
-    if nd < MIN_DIAGS:
-        return False
-    pad = a.padded_rows
-    if pad % TILE != 0:
-        return False
-    if x.dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    if a.vals.dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    lo = max(-min(a.offsets), 0)
-    hi = max(max(a.offsets), 0)
-    vmem = (
-        2 * nd * TILE * jnp.dtype(a.vals.dtype).itemsize
-        + _window_rows(lo, hi) * 128 * jnp.dtype(x.dtype).itemsize
-    )
-    return vmem <= _VMEM_BUDGET
+    return will_use(a.offsets, a.padded_rows, a.vals.dtype, x.dtype)
 
 
 def spmv(a, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
@@ -317,9 +441,12 @@ def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     pad = a.padded_rows
     lo = max(-min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
-    wrows = _window_rows(lo, hi)
+    tile = _pick_tile(len(a.offsets), lo, hi,
+                      jnp.dtype(a.vals.dtype).itemsize,
+                      jnp.dtype(xw.dtype).itemsize, pad) or TILE
+    wrows = _window_rows(lo, hi, tile)
     # last tile reads rows [(ntiles-1)*T128, ... + wrows)
-    xp_len = (pad // TILE - 1) * TILE + wrows * 128
+    xp_len = (pad // tile - 1) * tile + wrows * 128
     xp = jnp.pad(xw, (0, xp_len - xw.shape[0])).reshape(-1, 128)
     # blocked operators are already in the kernel's (nd, pad//128, 128)
     # layout — an apply-time reshape of a multi-GB operand materializes
@@ -328,5 +455,5 @@ def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     vals3 = a.vals if a.vals.ndim == 3 \
         else a.vals.reshape(len(a.offsets), pad // 128, 128)
     fn = _build(tuple(a.offsets), pad, lo, hi, str(xw.dtype),
-                str(a.vals.dtype), interpret=interpret)
+                str(a.vals.dtype), interpret=interpret, tile=tile)
     return fn(xp, vals3).reshape(pad)

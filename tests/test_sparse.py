@@ -139,6 +139,55 @@ def test_pallas_dia_kernel_interpret():
     np.testing.assert_allclose(y, want, rtol=2e-5, atol=1e-5)
 
 
+def test_pallas_dia_narrow_band_interpret():
+    """Narrow stencil (7 diagonals, wide span) through the tile-picking
+    window kernel matches the host product — the round-3 extension that
+    lets the fine Poisson operator run in Pallas instead of XLA shifted
+    slices (which re-read x once per diagonal)."""
+    import jax.numpy as jnp
+    from amg_tpu.ops import pallas_dia
+    from amg_tpu.sparse import Dia
+
+    n = 40960  # one big tile: amplification (tile+span)/tile stays low
+    a = amg.poisson3d(34)  # 39304 rows, 7 diagonals, span +/-1156
+    d = Dia.from_csr(a, dtype=jnp.float32, pad_rows_to=n)
+    assert len(d.offsets) == 7
+    # the picker must select a tile for this pad and judge it profitable
+    tile = pallas_dia._pick_tile(7, 1156, 1156, 4, 4, n)
+    assert tile == 40960
+    assert pallas_dia.will_use(tuple(d.offsets), n, jnp.float32, jnp.float32)
+    rng_ = np.random.default_rng(3)
+    x = np.zeros(n, dtype=np.float32)
+    x[: a.n_rows] = rng_.standard_normal(a.n_rows)
+    y = np.asarray(pallas_dia.spmv(d, jnp.asarray(x), interpret=True))
+    want = a.matvec(x[: a.n_rows].astype(np.float64))
+    np.testing.assert_allclose(y[: a.n_rows], want, rtol=2e-5, atol=1e-5)
+
+
+def test_pallas_pick_tile_rules():
+    """Tile selection: wide bands are VMEM-capped to small tiles, narrow
+    bands get the largest dividing tile, and the XLA path keeps very
+    narrow/span-heavy cases."""
+    from amg_tpu.ops import pallas_dia
+
+    # 201 diagonals f32: 2*201*t*4 bytes of double-buffered vals caps the
+    # tile well below the maximum
+    assert pallas_dia._pick_tile(201, 500, 500, 4, 4, 40960) in (4096, 8192)
+    assert pallas_dia._pick_tile(300, 500, 500, 4, 4, 40960) == 4096
+    # too many value planes for VMEM at any tile -> no kernel
+    assert pallas_dia._pick_tile(420, 500, 500, 4, 4, 40960) is None
+    # 7 diagonals: largest tile
+    assert pallas_dia._pick_tile(7, 10000, 10000, 4, 4, 1024000) == 40960
+    # pad not divisible by the larger tiles
+    assert pallas_dia._pick_tile(7, 100, 100, 4, 4, 8192) == 8192
+    # profitability: tridiagonal with a huge span at a small tile loses
+    assert not pallas_dia._wins_vs_xla(3, 4000, 4000, 4096, 4, 4)
+    # pad rounding helper prefers the largest tile within 2.5%
+    assert pallas_dia.good_pad(1000000) == 1024000
+    assert pallas_dia.good_pad(9938376) == 9953280
+    assert pallas_dia.good_pad(262144) == 266240
+
+
 def test_dia_blocked_layout_roundtrip():
     """Blocked (nd, pad//128, 128) Dia storage: same SpMV results and
     host round-trip as the 2-D layout."""
