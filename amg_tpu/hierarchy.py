@@ -1038,8 +1038,10 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
             for v in jax.tree_util.tree_leaves(levels[-1]):
                 if hasattr(v, "block_until_ready"):
                     v.block_until_ready()
+            import sys
+
             print(f"  pack level {l}: {time.perf_counter() - t_l:.2f}s",
-                  flush=True)
+                  file=sys.stderr, flush=True)
 
     # dense inverse of the coarsest operator.  The result is stored (and
     # applied) in the solve dtype, so invert in that dtype directly: at a
@@ -1049,46 +1051,29 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     pad_c = pads[-1]
     inv_dtype = np.dtype(dtype) if np.dtype(dtype) in (
         np.dtype(np.float32), np.dtype(np.float64)) else np.float32
-    coarse_inv = None
+    # The inverse runs on the HOST, always.  A device jnp.linalg.inv looks
+    # attractive for the collapsed-tail coarsest levels (a few thousand
+    # rows), but XLA's LU lowers to a per-column while_loop, and device
+    # control flow through a remote-execution relay syncs every iteration:
+    # a 4463^2 inverse measured 363 s on TPU-via-relay vs 10.6 s for the
+    # one-core f32 LAPACK inverse.  (On a direct-attached TPU the device
+    # path would win; revisit if the relay goes away.)
     t_inv = time.perf_counter()
-    if ac.n_rows > 2048 and jax.default_backend() == "tpu":
-        # large coarsest level (tail collapsed via pars.coarse_stop_rows):
-        # the O(n^3) LAPACK inverse would dominate host setup (~90 s at 6k
-        # rows on one core); the MXU does it in well under a second.
-        # Everything — inverse, padding, finiteness validation — runs in
-        # ONE jitted program and only a scalar flag comes back: through a
-        # remote-execution relay, eager ops each pay a fresh remote
-        # compile (measured 285 s for an eager isfinite/all pair) and a
-        # 164 MB inverse round-trips in anywhere from 7 s to 148 s.
-        try:
-            def _inv_pad(ad):
-                inv_d = jnp.linalg.inv(ad)
-                ok = jnp.all(jnp.isfinite(inv_d))
-                full_d = jnp.zeros((pad_c, pad_c), dtype=np.dtype(dtype))
-                full_d = jax.lax.dynamic_update_slice(
-                    full_d, inv_d.astype(np.dtype(dtype)), (0, 0))
-                return full_d, ok
-
-            ad = jnp.asarray(ac.to_dense(inv_dtype))
-            full_d, ok = jax.jit(_inv_pad)(ad)
-            if bool(ok):
-                coarse_inv = full_d
-        except Exception:  # pragma: no cover - fall through to host path
-            coarse_inv = None
-    if coarse_inv is None:
-        try:
-            inv = np.linalg.inv(ac.to_dense(inv_dtype))
-        except np.linalg.LinAlgError:
-            inv = np.linalg.pinv(ac.to_dense(inv_dtype))
-        if not np.all(np.isfinite(inv)):
-            inv = np.linalg.pinv(ac.to_dense(inv_dtype))
-        full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
-        full[: ac.n_rows, : ac.n_cols] = inv
-        coarse_inv = jnp.asarray(full.astype(np.dtype(dtype)))
+    try:
+        inv = np.linalg.inv(ac.to_dense(inv_dtype))
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(ac.to_dense(inv_dtype))
+    if not np.all(np.isfinite(inv)):
+        inv = np.linalg.pinv(ac.to_dense(inv_dtype))
+    full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
+    full[: ac.n_rows, : ac.n_cols] = inv
+    coarse_inv = jnp.asarray(full.astype(np.dtype(dtype)))
     if timers:
         coarse_inv.block_until_ready()
+        import sys
+
         print(f"  pack coarse inverse: {time.perf_counter() - t_inv:.2f}s",
-              flush=True)
+              file=sys.stderr, flush=True)
     return Hierarchy(levels=tuple(levels), coarse_inv=coarse_inv)
 
 

@@ -38,7 +38,7 @@ TILE = 4096
 # candidate tiles, largest first (largest fitting tile wins: least x
 # re-reading, fewest DMA trips); all divide one another so a pad rounded
 # to a big tile still offers the smaller ones for VMEM-bound operators
-TILES = (40960, 20480, 8192, TILE)
+TILES = (81920, 40960, 20480, 8192, TILE)
 # narrowest band the kernel accepts (below this XLA's fused shifted
 # slices are already at speed of light)
 MIN_DIAGS = 3
@@ -236,6 +236,11 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
             bytes_accessed=(nd + 2) * pad * dtype.itemsize,
             transcendentals=0,
         ),
+        # XLA's scoped-vmem pass stages this call's in/out tensors in VMEM
+        # and trips its 16MB default inside larger jitted programs (seen
+        # at 10M rows with tile=81920); raise the cap so they stream
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -62,10 +62,8 @@ def dia_spmv_local(offsets, vals_local: jnp.ndarray, xw: jnp.ndarray,
     use_pallas = (
         pallas_dia._platform() == "tpu"
         and not interpret
-        and nd >= pallas_dia.MIN_DIAGS
-        and m % pallas_dia.TILE == 0
-        and xw.dtype in (jnp.float32, jnp.bfloat16)
-        and vals_local.dtype in (jnp.float32, jnp.bfloat16)
+        and pallas_dia.will_use(tuple(offsets), m, vals_local.dtype,
+                                xw.dtype)
     )
     if use_pallas:
         return pallas_dia.spmv_window(d_loc, xw)

@@ -221,7 +221,11 @@ class AMGParams:
     # block matvec instead of XLA gathers (~37M gathered elements/s).
     # "auto" enables it on a single device; "on"/"off" force.
     use_banded: str = "auto"
-    banded_level_bytes: float = 2.5e9
+    # sized so a 10M-row Poisson's level-3 RCM band (~3.05 GB) qualifies:
+    # a gather-ELL level runs at ~0.9 GB/s effective vs ~89% of HBM
+    # speed-of-light for BandedBlocks — at these sizes almost any band
+    # that fits HBM beats gathers
+    banded_level_bytes: float = 3.5e9
     # When the RCM band slightly exceeds the byte budget, clip the band at
     # the largest nb that fits and lump the out-of-band entries into the
     # diagonal — IF they are at most this fraction of the level's nnz

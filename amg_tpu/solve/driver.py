@@ -301,23 +301,41 @@ class AMGSolver:
         absres0 = sumb
         info.residuals.append(sumb)
         max_outer = max(pars.max_it // k, 1)
+        # quiet mode dispatches outer steps speculatively and fetches their
+        # residuals in pairs: a device->host sync costs tens of ms through
+        # the remote-execution relay, dispatches are near-free (same
+        # batching pattern as :meth:`solve`)
+        check_every = 1 if pars.verbose else 2
+        pending: list = []  # (outer, device x, device absres)
+        stop = False
         for outer in range(1, max_outer + 1):
             x_hi, absres_d = self._refine_step(x_hi, b_hi)
-            absres = float(absres_d)
-            relres = absres / sumb
-            factor = (absres / absres0) ** (1.0 / k)
-            absres0 = absres
-            if pars.verbose:
-                print_itinfo(pars.stop_type, outer * k, relres, absres,
-                             factor, log=self.log)
-            if not np.isfinite(absres):
+            pending.append((outer, x_hi, absres_d))
+            if len(pending) < check_every and outer != max_outer:
+                continue
+            vals = np.asarray(jnp.stack([r for _, _, r in pending]))
+            for (outer_i, x_i, _), absres in zip(pending, vals):
+                absres = float(absres)
+                relres = absres / sumb
+                factor = (absres / absres0) ** (1.0 / k)
+                absres0 = absres
                 if pars.verbose:
-                    self.log("### WARNING: residual diverged "
-                             f"(cycle {outer * k}); stopping.")
-                break
-            info.ares, info.rres, info.nits = absres, relres, outer * k
-            info.residuals.append(absres)
-            if relres < pars.tol:
+                    print_itinfo(pars.stop_type, outer_i * k, relres, absres,
+                                 factor, log=self.log)
+                if not np.isfinite(absres):
+                    if pars.verbose:
+                        self.log("### WARNING: residual diverged "
+                                 f"(cycle {outer_i * k}); stopping.")
+                    stop = True
+                    break
+                info.ares, info.rres, info.nits = absres, relres, outer_i * k
+                info.residuals.append(absres)
+                x_hi = x_i
+                if relres < pars.tol:
+                    stop = True
+                    break
+            pending = []
+            if stop:
                 break
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds

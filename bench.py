@@ -102,7 +102,7 @@ def main():
     embed_bytes = float(os.environ.get("AMG_BENCH_EMBED_BYTES", "6e9"))
     sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.005"))
     sparsify_from = int(os.environ.get("AMG_BENCH_SPARSIFY_FROM", "2"))
-    banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "2.5e9"))
+    banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "3.5e9"))
     # collapse the deep dense tail into one MXU inverse apply: stop
     # coarsening once a level is <= this many rows and solve it directly
     # (the sub-10k dense levels cost more in per-op dispatch overhead
@@ -240,8 +240,10 @@ def _level_spmv_bench(li, lvl, spmv, log, hbm_gbps):
         for _ in range(ncopy - 1)
     ]
     # normalize so the chained iterates neither overflow nor denormal
-    y1 = spmv(op, x)
-    c = 1.0 / max(float(jnp.max(jnp.abs(y1))), 1e-30)
+    # (one jitted program: eager ops each compile separately, and through
+    # a remote-execution relay every fresh compile costs minutes)
+    c = 1.0 / max(float(jax.jit(
+        lambda op, x: jnp.max(jnp.abs(spmv(op, x))))(op, x)), 1e-30)
     chain_len = 192
     sol_s = chain_len * tb / (hbm_gbps * 1e9)
     k_disp = max(1, min(400, math.ceil(0.5 / sol_s)))
@@ -252,18 +254,19 @@ def _level_spmv_bench(li, lvl, spmv, log, hbm_gbps):
         return x
 
     cj = jax.jit(_chain)
+    sumj = jax.jit(jnp.sum)
 
     def _run(x):
         for _ in range(k_disp):
             x = cj(ops, x)
-        return float(jnp.sum(x))  # sync through the relay
+        return float(sumj(x))  # sync through the relay
 
     _run(x)  # compile + warm
     t0 = time.perf_counter()
     _run(x)
     t = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(jnp.sum(x))
+    float(sumj(x))
     t -= time.perf_counter() - t0
     per = max(t, 1e-9) / (chain_len * k_disp)
     gbs = tb / per / 1e9

@@ -184,7 +184,7 @@ def test_pallas_pick_tile_rules():
     assert not pallas_dia._wins_vs_xla(3, 4000, 4000, 4096, 4, 4)
     # pad rounding helper prefers the largest tile within 2.5%
     assert pallas_dia.good_pad(1000000) == 1024000
-    assert pallas_dia.good_pad(9938376) == 9953280
+    assert pallas_dia.good_pad(9938376) == 9994240
     assert pallas_dia.good_pad(262144) == 266240
 
 
