@@ -969,6 +969,60 @@ def _level_from_csr(
     )
 
 
+# Newton-Schulz coarse-inverse knobs: below _NS_MIN_ROWS the one-core
+# f32 LAPACK inverse is already sub-second; _NS_ITERS covers kappa up to
+# ~1e6 (error contracts as ||I - X0 A||^(2^k) with ||I - X0 A|| <=
+# 1 - 1/(kappa_2^2) for the A^T/(||A||_1 ||A||_inf) start, so iterations
+# needed ~ 2 log2(kappa) + log2 log(1/eps_f32) ~ 2 log2(kappa) + 5).
+_NS_MIN_ROWS = 3072
+_NS_ITERS = 48
+
+
+def _ns_inverse_program(a, n: int, n_iters: int):
+    """Statically-unrolled Newton-Schulz iteration X <- X (2I - A X).
+
+    Pure matmuls (MXU work, no data-dependent control flow), converging
+    quadratically to A^{-1} from the universally-safe start
+    X0 = A^T / (||A||_1 ||A||_inf).  Runs at HIGHEST precision — the TPU
+    default single-pass bf16 matmul would cap the attainable residual at
+    ~1e-2.  Returns (X with the pad block zeroed to match the host-inverse
+    layout, max|A X - I|) so the caller can verify cheaply."""
+    hi = jax.lax.Precision.HIGHEST
+    pad = a.shape[0]
+    eye = jnp.eye(pad, dtype=a.dtype)
+    x = a.T / (jnp.max(jnp.sum(jnp.abs(a), axis=0))
+               * jnp.max(jnp.sum(jnp.abs(a), axis=1)))
+    for _ in range(n_iters):
+        ax = jnp.matmul(a, x, precision=hi)
+        x = jnp.matmul(x, 2.0 * eye - ax, precision=hi)
+    res = jnp.max(jnp.abs(jnp.matmul(a, x, precision=hi) - eye))
+    x = x.at[n:, :].set(0.0).at[:, n:].set(0.0)
+    return x, res
+
+
+def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
+    """Device (f32) dense inverse of the coarsest operator, or ``None``
+    when the Newton-Schulz residual check fails (caller falls back to the
+    host LAPACK inverse).  The pad block carries an identity so the padded
+    matrix is nonsingular; its inverse is block-diagonal, leaving exact
+    zeros in the cross blocks."""
+    n = ac.n_rows
+    full = np.eye(pad_c, dtype=np.float32)
+    full[:n, :n] = ac.to_dense(np.float32)
+    try:
+        x, res = jax.jit(_ns_inverse_program, static_argnums=(1, 2))(
+            jnp.asarray(full), n, n_iters)
+        res = float(res)
+    except Exception:  # pragma: no cover - conservative: any device issue
+        return None
+    # a good f32 inverse has max|A X - I| ~ kappa * eps_f32; accept up to
+    # 1e-2 (the coarse solve is an approximate inner step of the V-cycle;
+    # beyond that, trust host LAPACK instead)
+    if not np.isfinite(res) or res > 1e-2:
+        return None
+    return x
+
+
 def to_device(hh: HostHierarchy, pars: AMGParams,
               plan=None) -> Hierarchy:
     """Pack the host hierarchy into device pytrees."""
@@ -1051,23 +1105,30 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     pad_c = pads[-1]
     inv_dtype = np.dtype(dtype) if np.dtype(dtype) in (
         np.dtype(np.float32), np.dtype(np.float64)) else np.float32
-    # The inverse runs on the HOST, always.  A device jnp.linalg.inv looks
-    # attractive for the collapsed-tail coarsest levels (a few thousand
-    # rows), but XLA's LU lowers to a per-column while_loop, and device
-    # control flow through a remote-execution relay syncs every iteration:
-    # a 4463^2 inverse measured 363 s on TPU-via-relay vs 10.6 s for the
-    # one-core f32 LAPACK inverse.  (On a direct-attached TPU the device
-    # path would win; revisit if the relay goes away.)
     t_inv = time.perf_counter()
-    try:
-        inv = np.linalg.inv(ac.to_dense(inv_dtype))
-    except np.linalg.LinAlgError:
-        inv = np.linalg.pinv(ac.to_dense(inv_dtype))
-    if not np.all(np.isfinite(inv)):
-        inv = np.linalg.pinv(ac.to_dense(inv_dtype))
-    full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
-    full[: ac.n_rows, : ac.n_cols] = inv
-    coarse_inv = jnp.asarray(full.astype(np.dtype(dtype)))
+    coarse_inv = None
+    if (inv_dtype == np.float32 and ac.n_rows >= _NS_MIN_ROWS
+            and jax.default_backend() == "tpu"
+            and os.environ.get("AMG_COARSE_INV", "auto") != "host"):
+        # Device Newton-Schulz inverse: statically-unrolled MXU matmuls —
+        # no device control flow, so it stays fast through a remote-
+        # execution relay (XLA's LU-based jnp.linalg.inv lowers to a
+        # per-column while_loop that syncs every iteration there: a
+        # 4463^2 inverse measured 363 s vs 10.6 s host LAPACK vs ~2 s
+        # for this path).  Residual-checked; falls back to host LAPACK.
+        coarse_inv = _ns_coarse_inverse(ac, pad_c)
+    if coarse_inv is None:
+        try:
+            inv = np.linalg.inv(ac.to_dense(inv_dtype))
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(ac.to_dense(inv_dtype))
+        if not np.all(np.isfinite(inv)):
+            inv = np.linalg.pinv(ac.to_dense(inv_dtype))
+        full = np.zeros((pad_c, pad_c), dtype=inv_dtype)
+        full[: ac.n_rows, : ac.n_cols] = inv
+        coarse_inv = jnp.asarray(full.astype(np.dtype(dtype)))
+    elif np.dtype(dtype) != inv_dtype:
+        coarse_inv = coarse_inv.astype(np.dtype(dtype))
     if timers:
         coarse_inv.block_until_ready()
         import sys

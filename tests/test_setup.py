@@ -341,3 +341,30 @@ def test_pmis_device_valid_splitting():
             "amg_tpu.setup_phase.cf_split", fromlist=["pmis_split"]
         ).pmis_split(s)
         assert 0.5 < col / max(col_np, 1) < 2.0
+
+
+def test_newton_schulz_inverse_matches_lapack():
+    """The device coarse-inverse path (statically unrolled Newton-Schulz,
+    hierarchy._ns_inverse_program) converges to the LAPACK inverse on an
+    SPD AMG-style operator, zeroes the pad block, and reports a residual
+    the accept/reject gate can trust."""
+    import jax.numpy as jnp
+    from amg_tpu.hierarchy import _ns_inverse_program, _ns_coarse_inverse
+
+    a = amg.poisson2d(16)  # 256 rows, SPD, kappa ~ 1e2
+    n, pad = a.n_rows, 384
+    full = np.eye(pad, dtype=np.float32)
+    full[:n, :n] = a.to_dense(np.float32)
+    # 24 iterations suffice at kappa ~ 1e2 (production uses _NS_ITERS=48
+    # for deeper safety margin; fewer here keeps the unrolled-program
+    # compile cheap on XLA:CPU)
+    x, res = _ns_inverse_program(jnp.asarray(full), n, 24)
+    x = np.asarray(x)
+    assert float(res) < 1e-3
+    ref = np.linalg.inv(a.to_dense(np.float32))
+    assert np.allclose(x[:n, :n], ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+    assert not x[n:, :].any() and not x[:, n:].any()
+
+    # the gate rejects a singular operator instead of returning garbage
+    sing = CSR.from_coo([0, 1], [0, 1], [1.0, 0.0], (2, 2))
+    assert _ns_coarse_inverse(sing, 128, n_iters=8) is None
