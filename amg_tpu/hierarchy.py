@@ -971,11 +971,16 @@ def _level_from_csr(
 
 # Newton-Schulz coarse-inverse knobs: below _NS_MIN_ROWS the one-core
 # f32 LAPACK inverse is already sub-second; _NS_ITERS covers kappa up to
-# ~1e6 (error contracts as ||I - X0 A||^(2^k) with ||I - X0 A|| <=
-# 1 - 1/(kappa_2^2) for the A^T/(||A||_1 ||A||_inf) start, so iterations
-# needed ~ 2 log2(kappa) + log2 log(1/eps_f32) ~ 2 log2(kappa) + 5).
+# ~1e4-1e5 in practice.  The convergence bound (error contracts as
+# ||I - X0 A||^(2^k) with ||I - X0 A|| <= 1 - 1/(kappa_2^2) for the
+# A^T/(||A||_1 ||A||_inf) start) needs ~2 log2(kappa) + 5 iterations
+# PLUS an n-dependent term, and more importantly a *converged* f32
+# inverse has residual ~kappa*eps_f32, which exceeds the 1e-2 accept
+# gate once kappa >~ 1e5 — _ns_coarse_inverse pre-screens with a cheap
+# diagonal-ratio condition estimate to skip the doomed device attempt.
 _NS_MIN_ROWS = 3072
 _NS_ITERS = 48
+_NS_KAPPA_SCREEN = 1e7  # diag-ratio screen (crude; order-of-magnitude)
 
 
 def _ns_inverse_program(a, n: int, n_iters: int):
@@ -1007,13 +1012,28 @@ def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
     matrix is nonsingular; its inverse is block-diagonal, leaving exact
     zeros in the cross blocks."""
     n = ac.n_rows
+    # cheap condition pre-screen: for the (diagonally-significant) AMG
+    # coarse operators the diagonal-extremes ratio tracks kappa's order of
+    # magnitude; an ill-conditioned operator cannot pass the residual gate
+    # in f32 anyway, so skip the ~2s device attempt outright
+    d = np.abs(ac.diagonal_fast())
+    d_nz = d[d > 0]
+    if len(d_nz) and float(d_nz.max() / d_nz.min()) > _NS_KAPPA_SCREEN:
+        return None
     full = np.eye(pad_c, dtype=np.float32)
     full[:n, :n] = ac.to_dense(np.float32)
     try:
         x, res = jax.jit(_ns_inverse_program, static_argnums=(1, 2))(
             jnp.asarray(full), n, n_iters)
         res = float(res)
-    except Exception:  # pragma: no cover - conservative: any device issue
+    except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as exc:
+        # device/runtime trouble -> routine host fallback, but say so:
+        # a silent blanket except would mask real programming errors
+        import warnings
+
+        warnings.warn(f"device Newton-Schulz coarse inverse failed "
+                      f"({type(exc).__name__}: {exc}); "
+                      "falling back to host LAPACK")
         return None
     # a good f32 inverse has max|A X - I| ~ kappa * eps_f32; accept up to
     # 1e-2 (the coarse solve is an approximate inner step of the V-cycle;
@@ -1154,7 +1174,11 @@ def setup(a: CSR, pars: AMGParams, log=print,
     plan = embedding_plan(hh, pars)
     t_plan = time.perf_counter() - t
     t = time.perf_counter()
-    if pars.reorder_gs:
+    # hh.perms set => reorder_for_gs already ran on this hierarchy (e.g. a
+    # checkpoint-restored one, saved post-reorder): the matrices are
+    # already permuted and banded_nb is recorded, so skip the expensive
+    # re-coloring/RCM pass
+    if pars.reorder_gs and hh.perms is None:
         reorder_for_gs(hh, pars, skip_levels=plan[0])
     t_reorder = time.perf_counter() - t
     t = time.perf_counter()

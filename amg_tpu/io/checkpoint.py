@@ -15,7 +15,7 @@ import numpy as np
 from ..sparse import CSR
 from ..hierarchy import HostHierarchy
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def _put_csr(out: dict, key: str, m: CSR) -> None:
@@ -63,6 +63,19 @@ def save_hierarchy(path, hh: HostHierarchy, compress: bool = True) -> None:
         for l, key in enumerate(hh.gs_key):
             if key is not None:
                 out[f"gs_key{l}"] = np.asarray(key, dtype=np.int64)
+    # v3: reorder_for_gs metadata, so a restored hierarchy skips the
+    # (expensive) re-permutation pass entirely — the matrices are saved
+    # already-permuted, and perms/banded_nb are what downstream packing
+    # (fine-grid embedding, BandedBlocks) consumes
+    if hh.perms is not None:
+        out["has_reorder"] = np.asarray(1)
+        for l, p in enumerate(hh.perms):
+            if p is not None:
+                out[f"perm{l}"] = np.asarray(p, dtype=np.int64)
+    if hh.banded_nb is not None:
+        for l, nb in enumerate(hh.banded_nb):
+            if nb is not None:
+                out[f"banded_nb{l}"] = np.asarray(nb, dtype=np.int64)
     (np.savez_compressed if compress else np.savez)(path, **out)
 
 
@@ -70,7 +83,7 @@ def load_hierarchy(path) -> HostHierarchy:
     """Restore a host hierarchy saved by :func:`save_hierarchy`."""
     z = np.load(path)
     version = int(z["version"])
-    if version not in (1, _FORMAT_VERSION):
+    if version not in (1, 2, _FORMAT_VERSION):
         raise ValueError(f"unsupported hierarchy checkpoint version {version}")
     nl = int(z["num_levels"])
     ncf = int(z["num_cfmarks"])
@@ -80,6 +93,18 @@ def load_hierarchy(path) -> HostHierarchy:
             z[f"gs_key{l}"] if f"gs_key{l}" in z.files else None
             for l in range(nl)
         ]
+    perms = banded_nb = None
+    if version >= 3:
+        if "has_reorder" in z.files:
+            perms = [
+                z[f"perm{l}"] if f"perm{l}" in z.files else None
+                for l in range(nl)
+            ]
+            banded_nb = [
+                int(z[f"banded_nb{l}"]) if f"banded_nb{l}" in z.files
+                else None
+                for l in range(nl)
+            ]
     return HostHierarchy(
         a=[_get_csr(z, f"a{l}") for l in range(nl)],
         p=[_get_csr(z, f"p{l}") for l in range(nl - 1)],
@@ -90,4 +115,6 @@ def load_hierarchy(path) -> HostHierarchy:
         ],
         setup_seconds=float(z["setup_seconds"]),
         gs_key=gs_key,
+        perms=perms,
+        banded_nb=banded_nb,
     )

@@ -232,8 +232,6 @@ def smooth(level, x, b, pars, nsweeps: int, pre: bool):
             x = gs_sweep(level, x, b, _order(level, False, 0, False))
             x = gs_sweep(level, x, b, _order(level, True, 0, True), relax=relax)
             x = gs_sweep(level, x, b, _order(level, False, 0, False), relax=relax)
-        elif sm in (SmootherType.POLY, SmootherType.CHEBYSHEV):
-            x = _chebyshev(level, x, b, pars.poly_deg)
         else:
             raise ValueError(f"unsupported smoother {sm}")
     return x

@@ -351,14 +351,17 @@ def test_newton_schulz_inverse_matches_lapack():
     import jax.numpy as jnp
     from amg_tpu.hierarchy import _ns_inverse_program, _ns_coarse_inverse
 
-    a = amg.poisson2d(16)  # 256 rows, SPD, kappa ~ 1e2
-    n, pad = a.n_rows, 384
+    import jax
+
+    a = amg.poisson2d(14)  # 196 rows, SPD, kappa ~ 1e2
+    n, pad = a.n_rows, 256
     full = np.eye(pad, dtype=np.float32)
     full[:n, :n] = a.to_dense(np.float32)
-    # 24 iterations suffice at kappa ~ 1e2 (production uses _NS_ITERS=48
-    # for deeper safety margin; fewer here keeps the unrolled-program
-    # compile cheap on XLA:CPU)
-    x, res = _ns_inverse_program(jnp.asarray(full), n, 24)
+    # 18 iterations suffice at kappa ~ 1e2 (production uses _NS_ITERS=48
+    # for deeper safety margin); ONE jitted call so the unrolled program
+    # executes as one compiled program, not ~40 eager dispatches
+    x, res = jax.jit(_ns_inverse_program, static_argnums=(1, 2))(
+        jnp.asarray(full), n, 18)
     x = np.asarray(x)
     assert float(res) < 1e-3
     ref = np.linalg.inv(a.to_dense(np.float32))
