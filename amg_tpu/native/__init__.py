@@ -100,6 +100,12 @@ class _NativeLib:
         dll.trunc_fill.restype = None
         dll.trunc_fill.argtypes = [i64, p_i64, p_i32, p_f64, f64, p_i64,
                                    p_i32, p_f64]
+        dll.well_pack_count.restype = i64
+        dll.well_pack_count.argtypes = [i64, p_i64, p_i32, i64, i64, p_i64]
+        dll.well_pack_fill.restype = i32
+        dll.well_pack_fill.argtypes = [
+            i64, p_i64, p_i32, p_f64, i64, i64, i64, p_i32, p_i32, p_f64,
+        ]
 
     # -- wrappers ------------------------------------------------------
 
@@ -223,6 +229,26 @@ class _NativeLib:
         qv = np.zeros(qp[n], dtype=np.float64)
         self._dll.trunc_fill(n, pp, pj, pv, eps, qp, qj, qv)
         return CSR(qp, qj, qv, p.shape)
+
+    def well_pack(self, a, ngroups, pad_cols):
+        """WEll slot packing (greedy first-fit; see sparse.py::WEll).
+
+        Returns ``(base (ngroups, S) i32, loc (ngroups, S, 8, 128) i32,
+        vals (ngroups, S, 8, 128) f64)``.
+        """
+        n = a.n_rows
+        ap = np.ascontiguousarray(a.indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(a.indices, dtype=np.int32)
+        av = np.ascontiguousarray(a.data, dtype=np.float64)
+        spg = np.zeros(ngroups, dtype=np.int64)
+        S = int(self._dll.well_pack_count(n, ap, aj, ngroups, pad_cols, spg))
+        base = np.zeros((ngroups, S), dtype=np.int32)
+        loc = np.zeros((ngroups, S, 8, 128), dtype=np.int32)
+        vals = np.zeros((ngroups, S, 8, 128), dtype=np.float64)
+        self._dll.well_pack_fill(n, ap, aj, av, ngroups, pad_cols, S,
+                                 base.reshape(-1), loc.reshape(-1),
+                                 vals.reshape(-1))
+        return base, loc, vals
 
     def greedy_color(self, a):
         """Greedy sequential coloring of A's symmetrized pattern.

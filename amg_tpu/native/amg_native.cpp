@@ -639,6 +639,174 @@ int32_t std_interp_values(
 // embarrassingly parallel over rows.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// WEll (windowed-gather ELL) slot packer — see amg_tpu/sparse.py::WEll.
+// Greedy first-fit per 1024-row group over column-sorted entries:
+// admit (row, col) into a slot iff (1) col lies in the slot's 1024-wide
+// window [128*base, 128*base + 1024), (2) the row's lane is free, and
+// (3) the (output-sublane, column-remainder) cell of the slot's Q table
+// is free or already maps to the same column block (the two-step-gather
+// conflict-freedom invariant).  Pass 1 counts slots per group; pass 2
+// re-runs the identical greedy and fills base / packed loc / values.
+// No reference counterpart: the reference's CSR SpMV gathers globally
+// (amg/SSS_utils.c:182-201); this layout is what makes the gather fast
+// on a TPU vector unit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WellSlot {
+    int32_t base;            // window start, sublane units
+    uint64_t occ[16];        // row-lane occupancy (1024 bits)
+    uint8_t qmap[1024];      // (sublane*128 + remainder) -> block, 0xFF free
+    // (group-local row, global nnz index) pairs; fill pass only
+    std::vector<std::pair<int32_t, int64_t>> entries;
+};
+
+// run the greedy for one group; returns slots (entries recorded only when
+// want_entries).  erows/ecols/eidx are the group's entries sorted by col.
+inline void well_greedy_group(
+    const std::vector<int32_t>& erows, const std::vector<int64_t>& ecols,
+    const std::vector<int64_t>& eidx, int64_t base_max, bool want_entries,
+    std::vector<WellSlot>& slots)
+{
+    slots.clear();
+    const size_t ne = ecols.size();
+    for (size_t e = 0; e < ne; ++e) {
+        const int64_t c = ecols[e];
+        const int32_t r = erows[e];
+        const int32_t su = r >> 7;
+        bool placed = false;
+        for (auto& s : slots) {
+            const int64_t w0 = 128 * (int64_t)s.base;
+            if (c < w0 || c >= w0 + 1024) continue;
+            if (s.occ[r >> 6] & (1ull << (r & 63))) continue;
+            const int32_t q = (int32_t)((c - w0) >> 7);
+            const int32_t rem = (int32_t)((c - w0) & 127);
+            uint8_t& cell = s.qmap[su * 128 + rem];
+            if (cell != 0xFF && cell != (uint8_t)q) continue;
+            s.occ[r >> 6] |= (1ull << (r & 63));
+            cell = (uint8_t)q;
+            if (want_entries) s.entries.emplace_back(r, eidx[e]);
+            placed = true;
+            break;
+        }
+        if (placed) continue;
+        WellSlot ns;
+        int64_t b = c >> 7;
+        if (b > base_max) b = base_max;
+        if (b < 0) b = 0;
+        ns.base = (int32_t)b;
+        std::memset(ns.occ, 0, sizeof(ns.occ));
+        std::memset(ns.qmap, 0xFF, sizeof(ns.qmap));
+        ns.occ[r >> 6] |= (1ull << (r & 63));
+        const int64_t off = c - 128 * b;
+        ns.qmap[su * 128 + (off & 127)] = (uint8_t)(off >> 7);
+        if (want_entries) ns.entries.emplace_back(r, eidx[e]);
+        slots.push_back(std::move(ns));
+    }
+}
+
+inline void well_collect_group(
+    int64_t g, int64_t n, const int64_t* ap, const int32_t* aj,
+    std::vector<int32_t>& erows, std::vector<int64_t>& ecols,
+    std::vector<int64_t>& eidx)
+{
+    const int64_t r0 = g * 1024;
+    const int64_t r1 = std::min(r0 + 1024, n);
+    erows.clear(); ecols.clear(); eidx.clear();
+    if (r0 >= n) return;
+    const int64_t lo = ap[r0], hi = ap[r1];
+    erows.reserve(hi - lo); ecols.reserve(hi - lo); eidx.reserve(hi - lo);
+    // sort by column: index sort over the group's entries
+    std::vector<int64_t> order(hi - lo);
+    for (int64_t k = 0; k < hi - lo; ++k) order[k] = lo + k;
+    std::sort(order.begin(), order.end(),
+              [aj](int64_t x, int64_t y) { return aj[x] < aj[y]; });
+    // row of each entry: walk indptr once
+    std::vector<int32_t> rows_of(hi - lo);
+    for (int64_t i = r0; i < r1; ++i)
+        for (int64_t k = ap[i]; k < ap[i + 1]; ++k)
+            rows_of[k - lo] = (int32_t)(i - r0);
+    for (int64_t k : order) {
+        erows.push_back(rows_of[k - lo]);
+        ecols.push_back((int64_t)aj[k]);
+        eidx.push_back(k);
+    }
+}
+
+}  // namespace
+
+int64_t well_pack_count(
+    int64_t n, const int64_t* ap, const int32_t* aj,
+    int64_t ngroups, int64_t pad_cols, int64_t* slots_per_group)
+{
+    const int64_t base_max = pad_cols / 128 - 8;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> erows;
+        std::vector<int64_t> ecols, eidx;
+        std::vector<WellSlot> slots;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 4)
+#endif
+        for (int64_t g = 0; g < ngroups; ++g) {
+            well_collect_group(g, n, ap, aj, erows, ecols, eidx);
+            well_greedy_group(erows, ecols, eidx, base_max, false, slots);
+            slots_per_group[g] = (int64_t)slots.size();
+        }
+    }
+    int64_t mx = 1;
+    for (int64_t g = 0; g < ngroups; ++g)
+        mx = std::max(mx, slots_per_group[g]);
+    return mx;
+}
+
+int32_t well_pack_fill(
+    int64_t n, const int64_t* ap, const int32_t* aj, const double* av,
+    int64_t ngroups, int64_t pad_cols, int64_t S,
+    int32_t* base, int32_t* loc, double* vals)
+{
+    const int64_t base_max = pad_cols / 128 - 8;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> erows;
+        std::vector<int64_t> ecols, eidx;
+        std::vector<WellSlot> slots;
+        std::vector<int32_t> row_of_entry;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 4)
+#endif
+        for (int64_t g = 0; g < ngroups; ++g) {
+            well_collect_group(g, n, ap, aj, erows, ecols, eidx);
+            well_greedy_group(erows, ecols, eidx, base_max, true, slots);
+            for (size_t k = 0; k < slots.size(); ++k) {
+                const WellSlot& s = slots[k];
+                base[g * S + k] = s.base;
+                int32_t* lc = loc + (g * S + (int64_t)k) * 1024;
+                double* vv = vals + (g * S + (int64_t)k) * 1024;
+                for (const auto& re : s.entries) {
+                    const int32_t r = re.first;
+                    const int64_t ei = re.second;
+                    const int64_t off = (int64_t)aj[ei] - 128 * s.base;
+                    lc[r] |= (int32_t)(off & 127);
+                    vv[r] = av[ei];
+                }
+                // Q table: lane j of sublane su holds the block of the
+                // remainder-j entry
+                for (int32_t cell = 0; cell < 1024; ++cell)
+                    if (s.qmap[cell] != 0xFF)
+                        lc[cell] |= ((int32_t)s.qmap[cell]) << 16;
+            }
+        }
+    }
+    return 0;
+}
+
 void p_pattern_dir_count(
     int64_t n, const int64_t* sp, const int32_t* sj, const int64_t* vec,
     int64_t* pp)

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..sparse import Ell, Dia, Dense, BandedBlocks
+from ..sparse import Ell, Dia, Dense, BandedBlocks, WEll
 
 
 def spmv_ell(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
@@ -31,6 +31,30 @@ def spmv_ell(a: Ell, x: jnp.ndarray) -> jnp.ndarray:
     gathered = x[a.cols]                      # (pr, w) gather
     y = jnp.sum(a.vals * gathered, axis=1)
     return y
+
+
+def spmv_well(a: WEll, x: jnp.ndarray) -> jnp.ndarray:
+    """Windowed-gather ELL SpMV (unstructured TPU fast path).
+
+    On TPU, the Pallas kernel (ops/pallas_well.py) resolves each slot
+    with one VMEM dynamic slice + sublane gather + lane shuffle.  The
+    XLA fallback below is the same math via a plain gather (fine on
+    CPU; on TPU it would hit the scalar-loop gather path, but TPU
+    always takes the kernel)."""
+    from . import pallas_well
+
+    if pallas_well.usable(a, x):
+        return pallas_well.spmv(a, x)
+    pc = a.pad_cols
+    xp = jnp.pad(x, (0, pc - x.shape[0])) if x.shape[0] < pc else x[:pc]
+    r = a.loc & 127
+    q = jnp.take_along_axis(a.loc, r, axis=3) >> 16  # Q table at lane=r
+    idx = (a.base.astype(jnp.int32)[:, :, None, None] + q) * 128 + r
+    v = a.vals
+    if v.dtype != x.dtype:
+        v = v.astype(x.dtype)
+    y = jnp.sum(v * xp[idx], axis=1)
+    return y.reshape(a.padded_rows)
 
 
 def spmv_dia(a: Dia, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +158,8 @@ def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
         return spmv_dense(a, x)
     if isinstance(a, BandedBlocks):
         return spmv_banded(a, x)
+    if isinstance(a, WEll):
+        return spmv_well(a, x)
     return spmv_ell(a, x)
 
 

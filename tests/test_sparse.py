@@ -287,3 +287,67 @@ def test_blas1_matches_numpy(rng):
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(axpby(0.3, jx, -1.2, jy)),
                                0.3 * x - 1.2 * y, rtol=1e-12)
+
+
+def test_well_roundtrip_and_spmv(rng):
+    """WEll packing invariants + SpMV vs scipy on an unstructured matrix
+    (the TPU-native answer to the reference's general CSR SpMV,
+    amg/SSS_utils.c:182-201)."""
+    import jax.numpy as jnp
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.sparse import WEll
+    from amg_tpu.ops.spmv import spmv
+
+    a = fem2d(3000, seed=1)
+    # f64 pack: the roundtrip is exact
+    w64 = WEll.from_csr(a, dtype=jnp.float64)
+    back = w64.to_csr()
+    diff = (a.to_scipy() - back.to_scipy()).tocoo()
+    diff.eliminate_zeros()
+    assert diff.nnz == 0
+
+    w = WEll.from_csr(a, dtype=jnp.float32)
+
+    # packing invariants: remainders in [0,128), Q blocks in [0,8),
+    # windows inside the padded x
+    loc = np.asarray(w.loc)
+    base = np.asarray(w.base)
+    assert ((loc & 0xFFFF) < 128).all()
+    assert (loc >> 16 < 8).all() and (loc >> 16 >= 0).all()
+    assert base.min() >= 0
+    assert (128 * base.max() + 1024) <= w.pad_cols
+
+    x = rng.standard_normal(a.n_cols).astype(np.float32)
+    y = np.asarray(spmv(w, jnp.asarray(x)))[: a.n_rows]
+    want = a.to_scipy() @ x
+    np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-4)
+
+
+def test_well_rectangular(rng):
+    """WEll on a rectangular operator (P/R shapes)."""
+    import jax.numpy as jnp
+    from amg_tpu.sparse import WEll
+    from amg_tpu.ops.spmv import spmv
+
+    a = CSR.from_scipy(_random_csr(rng, m=1500, n=700, density=0.01))
+    w = WEll.from_csr(a, dtype=jnp.float32)
+    x = rng.standard_normal(a.n_cols).astype(np.float32)
+    y = np.asarray(spmv(w, jnp.asarray(x)))[: a.n_rows]
+    want = a.to_scipy() @ x
+    np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-4)
+
+
+def test_well_pallas_interpret(rng):
+    """The Pallas WEll kernel (interpret mode) matches the XLA reference."""
+    import jax.numpy as jnp
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.sparse import WEll
+    from amg_tpu.ops import pallas_well
+    from amg_tpu.ops.spmv import spmv
+
+    a = fem2d(2500, seed=2)
+    w = WEll.from_csr(a, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(a.n_cols).astype(np.float32))
+    y = np.asarray(pallas_well.spmv(w, x, interpret=True))[: a.n_rows]
+    want = np.asarray(spmv(w, x))[: a.n_rows]
+    np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-4)
