@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .params import AMGParams, CoarsenType, InterpType, MIN_CDOF
-from .sparse import CSR, Ell, Dia, Dense, BandedBlocks, _round_up
+from .sparse import CSR, Ell, Dia, Dense, BandedBlocks, WEll, _round_up
 from .setup_phase.strength import strength_matrix
 from .setup_phase.cf_split import rs_split, pmis_split, clean_ff_couplings
 from .setup_phase.interp import build_interpolation
@@ -254,7 +254,7 @@ def setup_host(a: CSR, pars: AMGParams, log=print) -> HostHierarchy:
         ac = rap(r, al, p)
         if (pars.coarse_sparsify > 0
                 and lvl + 1 >= pars.sparsify_from_level
-                and _pick_format(ac, pars) == "ell"):
+                and _pick_format(ac, pars) in ("ell", "well")):
             # scope to gather-bound (ELL) levels: dense-MXU deep levels
             # cost nothing per extra nnz, so sparsifying them only loses
             # convergence (observed 14 -> 42 FCG its at 10M rows when the
@@ -305,6 +305,8 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
     hh.gs_key = [None] * nl
     hh.perms = [None] * nl
     hh.banded_nb = [None] * nl
+    if skip_levels == 0:
+        reorder_l0_for_well(hh, pars)
     for l in range(max(1, skip_levels + 1), nl):
         al = hh.a[l]
         if _pick_format(al, pars) == "dia":
@@ -314,7 +316,7 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
         perm = None
         clip_nb = None
         fmt_l = _pick_format(al, pars)
-        if banded_on and fmt_l in ("ell", "dense") and l < nl - 1:
+        if banded_on and fmt_l in ("ell", "dense", "well") and l < nl - 1:
             # try the block-banded MXU layout: RCM to shrink the block
             # bandwidth, accept if the dense band fits the byte budget.
             # For dense-eligible levels only switch when the band is
@@ -335,7 +337,12 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
             band_bytes = nbr * (2 * nb + 1) * 128 * 128 * op_itemsize
             dense_bytes = (nbr * 128) ** 2 * op_itemsize
             fits = band_bytes <= pars.banded_level_bytes and (
-                fmt_l == "ell" or 2 * band_bytes <= dense_bytes
+                fmt_l == "ell"
+                # vs WEll: banded streams its dense band (~88% SoL), WEll
+                # ~20-36 B/nnz (~65% SoL) — prefer banded only while its
+                # band is lean enough per nnz to come out ahead
+                or (fmt_l == "well" and band_bytes <= 40 * al.nnz)
+                or (fmt_l == "dense" and 2 * band_bytes <= dense_bytes)
             )
             if fits:
                 perm = rcm
@@ -358,7 +365,16 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
                         hh.banded_nb[l] = nb_fit
                         clip_nb = nb_fit
 
-        if perm is None:
+        if perm is None and fmt_l == "well":
+            # WEll level: order rows for slot-window locality, NOT by
+            # color (a color-contiguous order scatters neighbors and
+            # blows up the slot count / SMEM base table).  Use the
+            # ordering induced by the parent level — each unknown at its
+            # interpolation barycenter — so A_l, P_{l-1} and R_{l-1} all
+            # stay window-local without a fresh RCM pass.  GS smoothing
+            # on these levels runs masked (full SpMV + class mask).
+            perm = _barycentric_order(hh.p[l - 1])
+        elif perm is None:
             if not _needs_groups(pars, True):
                 # no GS-family smoother on this level: the color-contiguous
                 # permutation (and the coloring itself) buys nothing
@@ -388,6 +404,57 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
         if clip_nb is not None:
             hh.a[l] = clip_to_band(hh.a[l], clip_nb)
     return hh
+
+
+def reorder_l0_for_well(hh: HostHierarchy, pars: AMGParams) -> None:
+    """RCM-permute level 0 when it is headed for the WEll format.
+
+    WEll slot counts (and with them HBM traffic and the SMEM base-table
+    size) scale with how far a row's couplings stray from its 1024-wide
+    x windows, so an unstructured level 0 must be bandwidth-reduced
+    before packing.  Unlike the coarse-level permutations this one is
+    visible at the API boundary: the driver permutes b/x0 on entry and
+    inverts on exit (``hh.perms[0]``).  Numerics are unchanged (similarity
+    transform, norms invariant).
+    """
+    a0 = hh.a[0]
+    if _pick_format(a0, pars) != "well":
+        return
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m = sp.csr_matrix((a0.data, a0.indices, a0.indptr), shape=a0.shape)
+    perm = np.asarray(reverse_cuthill_mckee(m, symmetric_mode=True),
+                      dtype=np.int64)
+    if np.array_equal(perm, np.arange(a0.n_rows, dtype=np.int64)):
+        return
+    if hh.perms is None:
+        hh.perms = [None] * hh.num_levels
+    hh.perms[0] = perm
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(a0.n_rows, dtype=np.int64)
+    hh.a[0] = a0.permute(perm)
+    if hh.num_levels > 1:
+        hh.p[0] = hh.p[0].permute_rows(perm)
+        hh.r[0] = hh.r[0].permute_cols(inv)
+    if len(hh.cfmark) > 0 and hh.cfmark[0] is not None:
+        hh.cfmark[0] = np.asarray(hh.cfmark[0])[perm]
+
+
+def _barycentric_order(p: CSR) -> np.ndarray:
+    """Locality ordering of a coarse level induced by its parent: place
+    each coarse unknown at the |P|-weighted mean of its fine rows'
+    positions and sort.  Keeps A_l, P_{l-1}, R_{l-1} window-local when
+    the parent is already bandwidth-reduced (level-0 RCM cascades down
+    the hierarchy without per-level RCM passes)."""
+    w = np.abs(p.data)
+    rows = p.row_indices.astype(np.float64)
+    cols = p.indices.astype(np.int64)
+    nc = p.n_cols
+    wsum = np.bincount(cols, weights=w, minlength=nc)
+    wpos = np.bincount(cols, weights=w * rows, minlength=nc)
+    pos = np.where(wsum > 0, wpos / np.maximum(wsum, 1e-300), 0.0)
+    return np.argsort(pos, kind="stable").astype(np.int64)
 
 
 def clip_to_band(a: CSR, nb: int) -> CSR:
@@ -841,11 +908,12 @@ def _use_dia(al: CSR, pars: AMGParams) -> bool:
 
 
 def _pick_format(al: CSR, pars: AMGParams) -> str:
-    """Device format for a level operator: 'dia' | 'dense' | 'ell'.
+    """Device format for a level operator: 'dia'|'dense'|'well'|'ell'.
 
     DIA (gather-free VPU streaming) when banded; Dense (MXU matvec, zero
     gathers) when the dense footprint fits the budget — deep levels are
-    small but nearly dense; padded-ELL gathers otherwise.
+    small but nearly dense; WEll (windowed-gather Pallas kernel) for
+    large unstructured levels; padded-ELL gathers otherwise.
     """
     if _use_dia(al, pars):
         return "dia"
@@ -854,6 +922,11 @@ def _pick_format(al: CSR, pars: AMGParams) -> str:
         al.n_rows * al.n_cols * itemsize <= pars.dense_level_bytes
     ):
         return "dense"
+    well_on = pars.use_well == "on" or (
+        pars.use_well == "auto" and jax.device_count() == 1
+    )
+    if well_on and al.n_rows >= pars.well_min_rows:
+        return "well"
     return "ell"
 
 
@@ -873,7 +946,7 @@ def _level_from_csr(
     from .params import SMALLFLOAT
 
     fmt = _pick_format(al, pars)
-    if banded_nb is not None and fmt in ("ell", "dense"):
+    if banded_nb is not None and fmt in ("ell", "dense", "well"):
         fmt = "banded"
     op_dtype = dtype if (not is_coarse or pars.coarse_op_dtype == "same") \
         else jnp.dtype(pars.coarse_op_dtype)
@@ -889,6 +962,9 @@ def _level_from_csr(
     elif fmt == "dense":
         a_dev = Dense.from_csr(al, dtype=op_dtype, pad_rows_to=pad,
                                pad_cols_to=pad)
+    elif fmt == "well":
+        a_dev = WEll.from_csr(al, dtype=op_dtype, pad_rows_to=pad,
+                              pad_cols_to=pad)
     else:
         ell_cols_np, ell_vals_np = Ell.pack_host(al, pad_rows_to=pad)
         a_dev = Ell(
@@ -897,12 +973,25 @@ def _level_from_csr(
             al.shape,
             al.nnz,
         )
-    p_ell = Ell.from_csr(p, dtype=dtype, pad_rows_to=pad) if p is not None else None
-    r_ell = (
-        Ell.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse)
-        if r is not None
-        else None
-    )
+    # transfer operators: on WEll levels P/R would otherwise gather from
+    # large vectors (the XLA scalar-loop path) — pack them as WEll too.
+    # Output lengths must match the level pads exactly, so WEll (which
+    # pads rows to 1024) applies only when the pad is 1024-aligned.
+    if p is not None and fmt == "well" and pad % 1024 == 0:
+        p_ell = WEll.from_csr(p, dtype=dtype, pad_rows_to=pad,
+                              pad_cols_to=pad_coarse)
+    elif p is not None:
+        p_ell = Ell.from_csr(p, dtype=dtype, pad_rows_to=pad)
+    else:
+        p_ell = None
+    if r is not None and fmt == "well" and pad_coarse is not None \
+            and pad_coarse % 1024 == 0:
+        r_ell = WEll.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse,
+                              pad_cols_to=pad)
+    elif r is not None:
+        r_ell = Ell.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse)
+    else:
+        r_ell = None
 
     n = al.n_rows
     diag = np.zeros(pad)
@@ -933,7 +1022,7 @@ def _level_from_csr(
             (int(s), int(e - s)) for s, e in zip(starts, ends)
         )
         group_cf = [int(gs_key[s] % 2) for s in starts]
-    elif fmt in ("dia", "dense", "banded"):
+    elif fmt in ("dia", "dense", "banded", "well"):
         # gather-free masked GS path (full-operator product + class mask)
         groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
         gid_dev = jnp.asarray(np.asarray(gid, dtype=np.int32))
@@ -1060,17 +1149,28 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         emb = list(emb)
         emb[E + 1] = emb[E + 1][hh.perms[E + 1]]
     # dense/banded levels pad to the 128-lane boundary so the level's
-    # vectors are directly usable as (block) matvec operands; embedded
-    # levels share level 0's pad
+    # vectors are directly usable as (block) matvec operands; WEll levels
+    # pad to the 1024-row group size; embedded levels share level 0's pad
+    fmts = [
+        "banded" if (hh.banded_nb is not None
+                     and hh.banded_nb[l] is not None)
+        else _pick_format(m, pars)
+        for l, m in enumerate(hh.a)
+    ]
     pads = [
         _round_up(
             max(m.n_rows, 1),
-            128 if (_pick_format(m, pars) == "dense"
-                    or (hh.banded_nb is not None
-                        and hh.banded_nb[l] is not None)) else 8,
+            1024 if fmts[l] == "well"
+            else 128 if fmts[l] in ("dense", "banded") else 8,
         )
         for l, m in enumerate(hh.a)
     ]
+    # a WEll level's R output is the child's vector: 1024-align the child
+    # pad too so R can also pack as WEll (dense/banded accept any
+    # 128-multiple pad; the extra <=1023 rows are masked like any padding)
+    for l in range(1, nl):
+        if fmts[l - 1] == "well" and fmts[l] != "dia":
+            pads[l] = _round_up(pads[l], 1024)
     pad0 = pads[0]
     if E >= 1 and hh.a[0].n_rows >= 65536:
         # tile-align the shared embedded pad so the Pallas DIA window
@@ -1180,6 +1280,12 @@ def setup(a: CSR, pars: AMGParams, log=print,
     # re-coloring/RCM pass
     if pars.reorder_gs and hh.perms is None:
         reorder_for_gs(hh, pars, skip_levels=plan[0])
+    elif pars.reorder_gs and hh.perms is not None and hh.perms[0] is None \
+            and plan[0] == 0:
+        # hierarchy restored from a checkpoint written before level-0
+        # reordering existed: the coarse perms are baked in, but a WEll
+        # level 0 still needs its RCM pass (slot windows blow up without)
+        reorder_l0_for_well(hh, pars)
     t_reorder = time.perf_counter() - t
     t = time.perf_counter()
     mg = to_device(hh, pars, plan=plan)

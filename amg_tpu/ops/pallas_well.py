@@ -130,10 +130,16 @@ def _build(ngroups, S, xrows, dtype_name, vals_dtype_name, interpret=False):
 
 def will_use(ngroups, n_slots, pad_cols, vals_dtype, x_dtype) -> bool:
     """Applicability of the kernel for a WEll operator (backend check is
-    the caller's job): f32 compute path, x fully VMEM-resident."""
+    the caller's job): f32 compute path, x fully VMEM-resident, window
+    bases within the SMEM prefetch budget."""
     if jnp.dtype(x_dtype) != jnp.float32:
         return False
     if jnp.dtype(vals_dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
+    # the base table is a prefetched SMEM operand (limit 1 MB on v5e);
+    # an unreordered matrix can blow S up past it — fall back rather
+    # than fail compile
+    if ngroups * n_slots * 4 > 900 * 1024:
         return False
     xrows = pad_cols // 128
     x_bytes = xrows * 128 * 4

@@ -231,6 +231,15 @@ class AMGParams:
     # diagonal — IF they are at most this fraction of the level's nnz
     # (geometric cousin of coarse_sparsify; row sums preserved).
     banded_clip_frac: float = 0.02
+    # Windowed-gather ELL (WEll) for large UNSTRUCTURED levels that would
+    # otherwise fall to gather-ELL (XLA's general gather on TPU is a
+    # scalar loop, measured ~1.2 GB/s at 1M rows; the WEll Pallas kernel
+    # streams the same operator at >60% of HBM bandwidth).  Levels picked
+    # for WEll are RCM/barycentrically reordered so each slot's 1024-wide
+    # x window stays local.  "auto" enables it on a single device for
+    # levels >= well_min_rows; "on"/"off" force.
+    use_well: str = "auto"
+    well_min_rows: int = 65536
     # Non-Galerkin coarse-operator sparsification (Falgout/Schroder-style):
     # on levels >= sparsify_from_level drop entries with
     # |a_ij| < threshold * sqrt(|a_ii a_jj|) and lump the dropped mass

@@ -67,6 +67,15 @@ class AMGSolver:
                                              hh=host_hierarchy)
         self.pad = self.mg.levels[0].pad
         self.dtype = jnp.dtype(pars.dtype)
+        # level-0 similarity permutation (set when level 0 is RCM-ordered
+        # for the WEll format): b/x0 are permuted on entry, the solution
+        # un-permuted on exit; all internal residual norms are invariant
+        hp = self.host_hierarchy.perms
+        self._perm0 = hp[0] if hp is not None else None
+        self._iperm0 = None
+        if self._perm0 is not None:
+            self._iperm0 = np.empty_like(self._perm0)
+            self._iperm0[self._perm0] = np.arange(len(self._perm0))
 
         # the hierarchy is a jit ARGUMENT, not a closure capture: captured
         # arrays would be inlined into the HLO as literal constants (at 1M
@@ -107,18 +116,29 @@ class AMGSolver:
         self.a0_hi = None
         if pars.refine and self.dtype != jnp.float64:
             from ..hierarchy import _pick_format
-            from ..sparse import Dia, Dense, Ell
+            from ..sparse import Dia, Dense, Ell, WEll
 
-            fmt = _pick_format(a, pars)
+            # the internal (possibly level-0-permuted) operator — device
+            # vectors live in that ordering, so the f64 operator must too
+            a_int = self.host_hierarchy.a[0]
+            fmt = _pick_format(a_int, pars)
             if fmt == "dia":
-                self.a0_hi = Dia.from_csr(a, dtype=jnp.float64,
+                self.a0_hi = Dia.from_csr(a_int, dtype=jnp.float64,
                                           pad_rows_to=self.pad)
             elif fmt == "dense":
-                self.a0_hi = Dense.from_csr(a, dtype=jnp.float64,
+                self.a0_hi = Dense.from_csr(a_int, dtype=jnp.float64,
                                             pad_rows_to=self.pad,
                                             pad_cols_to=self.pad)
+            elif fmt == "well":
+                # f64 vals with f32 x would lose the point; WEll packs
+                # f64 and the f64 product runs through the XLA fallback
+                # (exactness beats speed here: one apply per outer
+                # defect-correction step)
+                self.a0_hi = WEll.from_csr(a_int, dtype=jnp.float64,
+                                           pad_rows_to=self.pad,
+                                           pad_cols_to=self.pad)
             else:
-                self.a0_hi = Ell.from_csr(a, dtype=jnp.float64,
+                self.a0_hi = Ell.from_csr(a_int, dtype=jnp.float64,
                                           pad_rows_to=self.pad)
 
             k = max(pars.refine_inner_cycles, 1)
@@ -188,10 +208,18 @@ class AMGSolver:
 
     # ------------------------------------------------------------------
 
-    def _pad_vec(self, v) -> jnp.ndarray:
-        out = np.zeros(self.pad, dtype=self.dtype)
-        out[: self.a.n_rows] = np.asarray(v, dtype=self.dtype)[: self.a.n_rows]
+    def _pad_vec(self, v, dtype=None) -> jnp.ndarray:
+        out = np.zeros(self.pad, dtype=dtype or self.dtype)
+        vv = np.asarray(v, dtype=dtype or self.dtype)[: self.a.n_rows]
+        if self._perm0 is not None:
+            vv = vv[self._perm0]
+        out[: self.a.n_rows] = vv
         return jnp.asarray(out)
+
+    def _unpad_vec(self, xd) -> np.ndarray:
+        """Device solution -> host vector in the caller's ordering."""
+        x = np.asarray(xd[: self.a.n_rows])
+        return x[self._iperm0] if self._iperm0 is not None else x
 
     def solve(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Host-loop solve with live residual table (reference parity)."""
@@ -271,7 +299,7 @@ class AMGSolver:
         info.setup_seconds = self.host_hierarchy.setup_seconds
         if pars.verbose:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
-        return np.asarray(xd[:n]), info
+        return self._unpad_vec(xd), info
 
     def solve_refined(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Mixed-precision defect correction: k low-precision cycles per
@@ -282,13 +310,9 @@ class AMGSolver:
         n = self.a.n_rows
         k = max(pars.refine_inner_cycles, 1)
 
-        b_hi = np.zeros(self.pad)
-        b_hi[:n] = np.asarray(b, dtype=np.float64)[:n]
-        x_hi = np.zeros(self.pad)
-        if x0 is not None:
-            x_hi[:n] = np.asarray(x0, dtype=np.float64)[:n]
-        b_hi = jnp.asarray(b_hi)
-        x_hi = jnp.asarray(x_hi)
+        b_hi = self._pad_vec(b, dtype=np.float64)
+        x_hi = self._pad_vec(x0 if x0 is not None else np.zeros(n),
+                             dtype=np.float64)
 
         info = SolveInfo()
         sumb = float(jnp.linalg.norm(b_hi))
@@ -341,7 +365,7 @@ class AMGSolver:
         info.setup_seconds = self.host_hierarchy.setup_seconds
         if pars.verbose:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
-        return np.asarray(x_hi[:n]), info
+        return self._unpad_vec(x_hi), info
 
     def solve_pcg(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """AMG-preconditioned flexible CG (``pars.accel == "cg"``).
@@ -356,11 +380,9 @@ class AMGSolver:
         n = self.a.n_rows
         adt = self._accel_dtype
 
-        bd = jnp.asarray(np.pad(np.asarray(b, dtype=adt)[:n],
-                                (0, self.pad - n)))
-        xd = jnp.asarray(np.pad(
-            np.asarray(x0 if x0 is not None else np.zeros(n),
-                       dtype=adt)[:n], (0, self.pad - n)))
+        bd = self._pad_vec(b, dtype=adt)
+        xd = self._pad_vec(x0 if x0 is not None else np.zeros(n),
+                           dtype=adt)
 
         info = SolveInfo()
         sumb = float(norm2(bd))
@@ -413,7 +435,7 @@ class AMGSolver:
         info.setup_seconds = self.host_hierarchy.setup_seconds
         if pars.verbose:
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
-        return np.asarray(xd[:n]), info
+        return self._unpad_vec(xd), info
 
     def solve_pgmres(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """AMG-right-preconditioned restarted GMRES (``pars.accel ==
@@ -424,11 +446,9 @@ class AMGSolver:
         n = self.a.n_rows
         adt = self._accel_dtype
 
-        bd = jnp.asarray(np.pad(np.asarray(b, dtype=adt)[:n],
-                                (0, self.pad - n)))
-        xd = jnp.asarray(np.pad(
-            np.asarray(x0 if x0 is not None else np.zeros(n),
-                       dtype=adt)[:n], (0, self.pad - n)))
+        bd = self._pad_vec(b, dtype=adt)
+        xd = self._pad_vec(x0 if x0 is not None else np.zeros(n),
+                           dtype=adt)
 
         info = SolveInfo()
         sumb = float(norm2(bd))
@@ -447,7 +467,7 @@ class AMGSolver:
         if pars.verbose:
             self.log(f"AMG-GMRES: {info.nits} its, relres {info.rres:g}")
             self.log(f"AMG solve time: {info.solve_seconds:g} s")
-        return np.asarray(x[:n]), info
+        return self._unpad_vec(x), info
 
     def solve_batched(self, bs, x0s=None, tol=None):
         """Solve ``A X = B`` for many right-hand sides with ONE hierarchy.
@@ -467,9 +487,13 @@ class AMGSolver:
         if bs.ndim != 2:
             raise ValueError("bs must be (n, k)")
         k = bs.shape[1]
+        if self._perm0 is not None:
+            bs = bs[:n][self._perm0]
         bd = jnp.asarray(np.pad(bs[:n], ((0, self.pad - n), (0, 0))))
         x0s = np.zeros((n, k), dtype=self.dtype) if x0s is None \
             else np.asarray(x0s, dtype=self.dtype)
+        if self._perm0 is not None:
+            x0s = x0s[:n][self._perm0]
         xd = jnp.asarray(np.pad(x0s[:n], ((0, self.pad - n), (0, 0))))
 
         if getattr(self, "_batched_step_fn", None) is None or \
@@ -511,7 +535,10 @@ class AMGSolver:
         if pars.verbose:
             self.log(f"AMG batched solve: k={k}, {nits} its, worst "
                      f"relres {info.rres:g}, {info.solve_seconds:g} s")
-        return np.asarray(xd[:n]), info
+        xs = np.asarray(xd[:n])
+        if self._iperm0 is not None:
+            xs = xs[self._iperm0]
+        return xs, info
 
     def solve_jit(self, b, x0=None) -> tuple[np.ndarray, SolveInfo]:
         """Fully-jitted solve (no per-iteration host sync)."""
@@ -532,7 +559,7 @@ class AMGSolver:
         info.residuals = [float(v) for v in h[~np.isnan(h)]]
         info.solve_seconds = dt
         info.setup_seconds = self.host_hierarchy.setup_seconds
-        return np.asarray(x[:n]), info
+        return self._unpad_vec(x), info
 
 
 def solver_amg(a: CSR, x, b, pars: AMGParams = AMGParams(), log=print):

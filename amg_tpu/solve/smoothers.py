@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import SmootherType
-from ..sparse import Dia, Dense, BandedBlocks
+from ..sparse import Dia, Dense, BandedBlocks, WEll
 
 
 def _masked_group_update(level, x, b, g: int, relax=None):
@@ -127,7 +127,7 @@ def gs_sweep(level, x, b, order, relax=None):
         for g in order:
             start, size = level.ranges[g]
             x = upd(level, x, b, start, size, relax=relax)
-    elif isinstance(level.a, (Dia, Dense, BandedBlocks)):
+    elif isinstance(level.a, (Dia, Dense, BandedBlocks, WEll)):
         for g in order:
             x = _masked_group_update(level, x, b, g, relax=relax)
     else:

@@ -97,8 +97,12 @@ def main():
     # sparsified V-cycle is a good preconditioner but NOT a contraction
     # (stand-alone cycling diverged at 10M rows); the Krylov wrap is what
     # makes it robust.
+    # Unstructured/file matrices also default to FCG: their sparsified
+    # cycles are good preconditioners but not reliable contractions
+    # (fem2d at 1M rows diverged under stand-alone cycling).
     accel = os.environ.get("AMG_BENCH_ACCEL",
-                           "cg" if n_side >= 128 else "none")
+                           "cg" if (n_side >= 128 or matrix_spec)
+                           else "none")
     embed_bytes = float(os.environ.get("AMG_BENCH_EMBED_BYTES", "6e9"))
     sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.005"))
     sparsify_from = int(os.environ.get("AMG_BENCH_SPARSIFY_FROM", "2"))

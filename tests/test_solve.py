@@ -868,6 +868,35 @@ def test_unstructured_fem_solve():
     assert true_rres < 5e-8
 
 
+def test_unstructured_well_solve():
+    """End-to-end solve through the WEll path (unstructured TPU format):
+    level 0 RCM-permuted (hh.perms[0] set, b/x handled at the API
+    boundary), A/P/R packed as WEll, masked GS + FCG both converge, and
+    the returned x is in the CALLER's ordering (host-verified residual
+    must match the solver's internal one)."""
+    import amg_tpu as amg
+    from amg_tpu.sparse import WEll
+
+    a = amg.fem2d(2500, seed=3)
+    b = np.random.default_rng(1).standard_normal(a.n_rows)
+    pars = AMGParams(tol=1e-8, verbose=False, use_well="on",
+                     well_min_rows=512, dense_level_bytes=2e4,
+                     use_banded="off", smoother=SmootherType.CHEBYSHEV,
+                     accel="cg", refine=False)
+    s = amg.AMGSolver(a, pars)
+    assert isinstance(s.mg.levels[0].a, WEll)
+    assert s._perm0 is not None  # RCM applied to level 0
+    assert isinstance(s.mg.levels[0].p, WEll)  # transfers packed too
+    x, info = s.solve(b)
+    assert info.rres < 1e-8
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    true_rres = np.linalg.norm(b - m @ x) / np.linalg.norm(b)
+    # true == internal residual proves the boundary permutation is exact
+    assert abs(true_rres - info.rres) / info.rres < 1e-6
+
+
 def test_unstructured_fem_graded_setup():
     """Graded-mesh variant: degree distribution is even more skewed; the
     format picker must not blow up ELL widths (hierarchy stays bounded)."""
