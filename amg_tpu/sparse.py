@@ -23,7 +23,7 @@ always a valid index) and ``val = 0`` so no masks are needed in compute.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -677,16 +677,21 @@ class WEll:
     shape: Tuple[int, int]
     nnz: int
     pad_cols: int       # x padding the windows were clamped against
+    # df64 tail plane (f32, same layout as vals): set by from_csr_df64 —
+    # vals + vals_lo reproduces the f64 operator to ~1e-16; the Pallas
+    # df64 kernel then delivers an f64-quality matvec from pure-f32 VPU
+    # arithmetic (TPU has no hardware f64)
+    vals_lo: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.vals, self.loc, self.base), (
+        return (self.vals, self.loc, self.base, self.vals_lo), (
             self.shape, self.nnz, self.pad_cols)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        vals, loc, base = children
+        vals, loc, base, vals_lo = children
         shape, nnz, pad_cols = aux
-        return cls(vals, loc, base, shape, nnz, pad_cols)
+        return cls(vals, loc, base, shape, nnz, pad_cols, vals_lo)
 
     @property
     def n_rows(self) -> int:
@@ -813,8 +818,27 @@ class WEll:
             pc,
         )
 
+    @staticmethod
+    def from_csr_df64(a: CSR, pad_rows_to: int | None = None,
+                      pad_cols_to: int | None = None) -> "WEll":
+        """Pack with the operator split into non-overlapping f32 planes
+        (vals = f32(v), vals_lo = f32(v - vals)): the df64 Pallas kernel
+        applies this at f64 quality without hardware f64."""
+        vals64, loc, base = WEll.pack_host(
+            a, dtype=np.float64, pad_rows_to=pad_rows_to,
+            pad_cols_to=pad_cols_to)
+        hi = vals64.astype(np.float32)
+        lo = (vals64 - hi.astype(np.float64)).astype(np.float32)
+        pc = _round_up(max(a.n_cols, 1), 1024)
+        if pad_cols_to is not None:
+            pc = max(pc, _round_up(pad_cols_to, 1024))
+        return WEll(jnp.asarray(hi), jnp.asarray(loc), jnp.asarray(base),
+                    a.shape, a.nnz, pc, vals_lo=jnp.asarray(lo))
+
     def to_csr(self) -> CSR:
         vals = np.asarray(self.vals, dtype=np.float64)
+        if self.vals_lo is not None:
+            vals = vals + np.asarray(self.vals_lo, dtype=np.float64)
         loc = np.asarray(self.loc, dtype=np.int64)
         base = np.asarray(self.base, dtype=np.int64)
         g, k, s, l = np.nonzero(vals)
