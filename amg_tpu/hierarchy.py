@@ -1072,15 +1072,17 @@ _NS_ITERS = 48
 _NS_KAPPA_SCREEN = 1e7  # diag-ratio screen (crude; order-of-magnitude)
 
 
-def _ns_inverse_program(a, n: int, n_iters: int):
+def _ns_inverse_program(a, n_iters: int):
     """Statically-unrolled Newton-Schulz iteration X <- X (2I - A X).
 
     Pure matmuls (MXU work, no data-dependent control flow), converging
     quadratically to A^{-1} from the universally-safe start
     X0 = A^T / (||A||_1 ||A||_inf).  Runs at HIGHEST precision — the TPU
     default single-pass bf16 matmul would cap the attainable residual at
-    ~1e-2.  Returns (X with the pad block zeroed to match the host-inverse
-    layout, max|A X - I|) so the caller can verify cheaply."""
+    ~1e-2.  Returns (X, max|A X - I|) so the caller can verify cheaply;
+    the pad-block zeroing happens host-side so the program depends only
+    on the (bucketed) shape, not on the true row count — one compile
+    serves every nearby coarsest level."""
     hi = jax.lax.Precision.HIGHEST
     pad = a.shape[0]
     eye = jnp.eye(pad, dtype=a.dtype)
@@ -1090,7 +1092,6 @@ def _ns_inverse_program(a, n: int, n_iters: int):
         ax = jnp.matmul(a, x, precision=hi)
         x = jnp.matmul(x, 2.0 * eye - ax, precision=hi)
     res = jnp.max(jnp.abs(jnp.matmul(a, x, precision=hi) - eye))
-    x = x.at[n:, :].set(0.0).at[:, n:].set(0.0)
     return x, res
 
 
@@ -1109,12 +1110,22 @@ def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
     d_nz = d[d > 0]
     if len(d_nz) and float(d_nz.max() / d_nz.min()) > _NS_KAPPA_SCREEN:
         return None
-    full = np.eye(pad_c, dtype=np.float32)
+    # bucket the program shape to 512 so nearby coarsest sizes reuse the
+    # compiled 2*n_iters-matmul program (through a remote-compile relay a
+    # fresh compile costs minutes; the pad block is identity, harmless)
+    pad_ns = -(-max(pad_c, 1) // 512) * 512
+    full = np.eye(pad_ns, dtype=np.float32)
     full[:n, :n] = ac.to_dense(np.float32)
     try:
-        x, res = jax.jit(_ns_inverse_program, static_argnums=(1, 2))(
-            jnp.asarray(full), n, n_iters)
+        x, res = jax.jit(_ns_inverse_program, static_argnums=(1,))(
+            jnp.asarray(full), n_iters)
         res = float(res)
+        # zero the pad block (identity inverse) and crop to the level pad;
+        # host numpy so the compiled program stays n-independent
+        x = np.asarray(x)[:pad_c, :pad_c].copy()
+        x[n:, :] = 0.0
+        x[:, n:] = 0.0
+        x = jnp.asarray(x)
     except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as exc:
         # device/runtime trouble -> routine host fallback, but say so:
         # a silent blanket except would mask real programming errors

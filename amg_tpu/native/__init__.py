@@ -100,6 +100,13 @@ class _NativeLib:
         dll.trunc_fill.restype = None
         dll.trunc_fill.argtypes = [i64, p_i64, p_i32, p_f64, f64, p_i64,
                                    p_i32, p_f64]
+        dll.sa_aggregate.restype = i64
+        dll.sa_aggregate.argtypes = [i64, p_i64, p_i32, p_i64]
+        dll.p_pattern_std_count.restype = None
+        dll.p_pattern_std_count.argtypes = [i64, p_i64, p_i32, p_i64, p_i64]
+        dll.p_pattern_std_fill.restype = None
+        dll.p_pattern_std_fill.argtypes = [i64, p_i64, p_i32, p_i64, p_i64,
+                                           p_i32]
         dll.well_pack_count.restype = i64
         dll.well_pack_count.argtypes = [i64, p_i64, p_i32, i64, i64, p_i64]
         dll.well_pack_fill.restype = i32
@@ -229,6 +236,36 @@ class _NativeLib:
         qv = np.zeros(qp[n], dtype=np.float64)
         self._dll.trunc_fill(n, pp, pj, pv, eps, qp, qj, qv)
         return CSR(qp, qj, qv, p.shape)
+
+    def sa_aggregate(self, s):
+        """Three-phase greedy aggregation over the strength graph.
+
+        Returns ``(agg, n_agg)`` — exact semantics of
+        setup_phase.aggregation.aggregate's Python loops.
+        """
+        n = s.n_rows
+        sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
+        sj = np.ascontiguousarray(s.indices, dtype=np.int32)
+        agg = np.zeros(n, dtype=np.int64)
+        n_agg = int(self._dll.sa_aggregate(n, sp, sj, agg))
+        return agg, n_agg
+
+    def p_pattern_std(self, s, vec, n_coarse):
+        """Standard (distance-2) interpolation pattern CSR (data = zeros);
+        first-visit column order, matching the Python reference loop."""
+        from ..sparse import CSR
+
+        n = s.n_rows
+        sp = np.ascontiguousarray(s.indptr, dtype=np.int64)
+        sj = np.ascontiguousarray(s.indices, dtype=np.int32)
+        v = np.ascontiguousarray(vec, dtype=np.int64)
+        pp = np.zeros(n + 1, dtype=np.int64)
+        self._dll.p_pattern_std_count(n, sp, sj, v, pp)
+        np.cumsum(pp, out=pp)
+        pj = np.zeros(pp[n], dtype=np.int32)
+        self._dll.p_pattern_std_fill(n, sp, sj, v, pp, pj)
+        return CSR(pp, pj, np.zeros(len(pj), dtype=np.float64),
+                   (n, n_coarse))
 
     def well_pack(self, a, ngroups, pad_cols):
         """WEll slot packing (greedy first-fit; see sparse.py::WEll).

@@ -807,6 +807,156 @@ int32_t well_pack_fill(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Smoothed-aggregation greedy (three-phase Vanek; no reference
+// counterpart — the reference is RS-only).  Exact port of the Python
+// aggregate(): (1) seed where the whole strong neighborhood is free,
+// (2) attach stragglers to the most-connected neighboring aggregate
+// (ties -> smallest id), (3) leftovers seed with their free neighbors.
+// Phase 1 is order-dependent (sequential greedy), but the whole pass is
+// O(nnz) in C++ — the Python per-row loop was the SA setup bottleneck
+// at 1M+ rows.
+// ---------------------------------------------------------------------------
+
+int64_t sa_aggregate(
+    int64_t n, const int64_t* sp, const int32_t* sj, int64_t* agg)
+{
+    for (int64_t i = 0; i < n; ++i)
+        agg[i] = (sp[i + 1] == sp[i]) ? -1 : -2;
+    int64_t n_agg = 0;
+    // phase 1
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -2) continue;
+        bool free_nbhd = true;
+        for (int64_t k = sp[i]; k < sp[i + 1]; ++k)
+            if (agg[sj[k]] != -2) { free_nbhd = false; break; }
+        if (!free_nbhd) continue;
+        agg[i] = n_agg;
+        for (int64_t k = sp[i]; k < sp[i + 1]; ++k) agg[sj[k]] = n_agg;
+        ++n_agg;
+    }
+    // phase 2: most-connected neighboring aggregate, ties -> smallest id
+    std::vector<int64_t> ids, counts;
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -2) continue;
+        ids.clear(); counts.clear();
+        for (int64_t k = sp[i]; k < sp[i + 1]; ++k) {
+            const int64_t aa = agg[sj[k]];
+            if (aa < 0) continue;
+            size_t t = 0;
+            for (; t < ids.size(); ++t)
+                if (ids[t] == aa) { ++counts[t]; break; }
+            if (t == ids.size()) { ids.push_back(aa); counts.push_back(1); }
+        }
+        if (ids.empty()) continue;  // stays -2 for phase 3
+        int64_t best = -1, best_c = 0;
+        for (size_t t = 0; t < ids.size(); ++t)
+            if (counts[t] > best_c
+                || (counts[t] == best_c && ids[t] < best)) {
+                best = ids[t]; best_c = counts[t];
+            }
+        agg[i] = best;
+    }
+    // phase 3
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -2) continue;
+        agg[i] = n_agg;
+        for (int64_t k = sp[i]; k < sp[i + 1]; ++k)
+            if (agg[sj[k]] == -2) agg[sj[k]] = n_agg;
+        ++n_agg;
+    }
+    return n_agg;
+}
+
+// ---------------------------------------------------------------------------
+// Standard-interpolation pattern (distance-2; reference interp_STD's
+// pattern stage, amg/Setup/SSS_inter.cu:550-715): an F row interpolates
+// from its strong C neighbors plus the strong C neighbors of its strong
+// F neighbors, in first-visit order (the reference's `visited` stamps).
+// Row degrees are small (tens), so dedup is a linear scan over the
+// row's collected columns — O(deg^2) per row but allocation-free and
+// embarrassingly parallel, vs the Python per-row loop that made STD
+// unusable at 1M+ rows.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int64_t std_row_collect(
+    int64_t i, const int64_t* sp, const int32_t* sj, const int64_t* vec,
+    int32_t* out)  // out: caller-provided buffer; returns count
+{
+    int64_t cnt = 0;
+    auto push = [&](int32_t c) {
+        for (int64_t t = 0; t < cnt; ++t)
+            if (out[t] == c) return;
+        out[cnt++] = c;
+    };
+    for (int64_t j = sp[i]; j < sp[i + 1]; ++j) {
+        const int32_t k = sj[j];
+        if (vec[k] == 1) {
+            push(k);
+        } else if (vec[k] == 0 && k != (int32_t)i) {
+            for (int64_t l = sp[k]; l < sp[k + 1]; ++l) {
+                const int32_t h = sj[l];
+                if (vec[h] == 1) push(h);
+            }
+        }
+    }
+    return cnt;
+}
+
+}  // namespace
+
+void p_pattern_std_count(
+    int64_t n, const int64_t* sp, const int32_t* sj, const int64_t* vec,
+    int64_t* pp)
+{
+    pp[0] = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<int32_t> buf(256);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1024)
+#endif
+        for (int64_t i = 0; i < n; ++i) {
+            if (vec[i] == 1) {
+                pp[i + 1] = 1;
+                continue;
+            }
+            if (vec[i] != 0) {
+                pp[i + 1] = 0;
+                continue;
+            }
+            // upper bound on candidates: sum of neighbor strong degrees
+            int64_t cap = 0;
+            for (int64_t j = sp[i]; j < sp[i + 1]; ++j) {
+                const int32_t k = sj[j];
+                cap += (vec[k] == 1) ? 1 : (sp[k + 1] - sp[k]);
+            }
+            if ((int64_t)buf.size() < cap) buf.resize(cap);
+            pp[i + 1] = std_row_collect(i, sp, sj, vec, buf.data());
+        }
+    }
+}
+
+void p_pattern_std_fill(
+    int64_t n, const int64_t* sp, const int32_t* sj, const int64_t* vec,
+    const int64_t* pp, int32_t* pj)
+{
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        if (vec[i] == 1) {
+            pj[pp[i]] = (int32_t)i;
+        } else if (vec[i] == 0) {
+            (void)std_row_collect(i, sp, sj, vec, pj + pp[i]);
+        }
+    }
+}
+
 void p_pattern_dir_count(
     int64_t n, const int64_t* sp, const int32_t* sj, const int64_t* vec,
     int64_t* pp)

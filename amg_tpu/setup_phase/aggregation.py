@@ -33,6 +33,10 @@ def aggregate(s: CSR) -> tuple[np.ndarray, int]:
     (or -1 for isolated nodes with no strong couplings — they receive an
     empty P row, like the reference's ISPT points).
     """
+    from .. import native
+
+    if native.lib is not None:
+        return native.lib.sa_aggregate(s)
     n = s.n_rows
     sp, sj = s.indptr, s.indices
     agg = np.full(n, -2, dtype=np.int64)  # -2 unassigned, -1 isolated

@@ -81,6 +81,10 @@ def p_pattern_std(s: CSR, vec: np.ndarray, n_coarse: int) -> CSR:
     """Standard-interpolation pattern: strong C neighbors plus distance-2 C
     neighbors reached through strong F neighbors (first-visit dedup order,
     like the reference's ``visited`` stamps)."""
+    from .. import native
+
+    if native.lib is not None:
+        return native.lib.p_pattern_std(s, vec, n_coarse)
     n = s.n_rows
     sp, sj = s.indptr, s.indices
     visited = np.full(n, -1, dtype=np.int64)

@@ -117,7 +117,14 @@ def main():
     sched_env = os.environ.get("AMG_BENCH_POLY_SCHED", "")
     poly_sched = (tuple(int(t) for t in sched_env.split(","))
                   if sched_env else None)
+    from amg_tpu.params import InterpType, CoarsenType
+
+    interp = InterpType[os.environ.get("AMG_BENCH_INTERP", "DIR")]
+    cs_type = CoarsenType[os.environ.get("AMG_BENCH_CS", "RS")]
     pars = amg.AMGParams(
+        interp_type=interp,
+        cs_type=cs_type,
+        cycle_type=int(os.environ.get("AMG_BENCH_CYCLE", "1")),
         poly_deg_schedule=poly_sched,
         coarse_stop_rows=coarse_stop,
         embed_max_bytes=embed_bytes,

@@ -154,6 +154,58 @@ def test_interp_std_runs():
     assert np.isfinite(p.data).all()
 
 
+def test_p_pattern_std_native_matches_python():
+    """Native distance-2 STD pattern builder == the Python reference loop
+    (exact, incl. first-visit column order) on structured + unstructured
+    strength graphs."""
+    from amg_tpu import native
+    from amg_tpu.setup_phase.interp import p_pattern_std
+    import amg_tpu.setup_phase.interp as interp_mod
+
+    if native.lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for a in (amg.poisson2d(24), amg.fem2d(1500, seed=9)):
+        s = strength_matrix(a)
+        vec, col = rs_split(s)
+        got = native.lib.p_pattern_std(s, vec, col)
+        # Python reference: call the module-level loop directly
+        import numpy as _np
+
+        n = s.n_rows
+        want = None
+        lib_save, native.lib = native.lib, None
+        try:
+            want = p_pattern_std(s, vec, col)
+        finally:
+            native.lib = lib_save
+        _np.testing.assert_array_equal(got.indptr, want.indptr)
+        _np.testing.assert_array_equal(got.indices, want.indices)
+
+
+def test_sa_aggregate_native_matches_python():
+    """Native three-phase aggregation == the Python greedy, exactly
+    (same aggregate ids in the same order)."""
+    from amg_tpu import native
+    from amg_tpu.setup_phase.aggregation import aggregate
+
+    if native.lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for a in (amg.poisson2d(30), amg.fem2d(2000, seed=13)):
+        s = strength_matrix(a)
+        got, got_n = native.lib.sa_aggregate(s)
+        lib_save, native.lib = native.lib, None
+        try:
+            want, want_n = aggregate(s)
+        finally:
+            native.lib = lib_save
+        assert got_n == want_n
+        np.testing.assert_array_equal(got, want)
+
+
 def test_truncation_preserves_group_sums():
     # one row with mixed signs
     p = CSR.from_coo(
@@ -360,13 +412,12 @@ def test_newton_schulz_inverse_matches_lapack():
     # 18 iterations suffice at kappa ~ 1e2 (production uses _NS_ITERS=48
     # for deeper safety margin); ONE jitted call so the unrolled program
     # executes as one compiled program, not ~40 eager dispatches
-    x, res = jax.jit(_ns_inverse_program, static_argnums=(1, 2))(
-        jnp.asarray(full), n, 18)
+    x, res = jax.jit(_ns_inverse_program, static_argnums=(1,))(
+        jnp.asarray(full), 18)
     x = np.asarray(x)
     assert float(res) < 1e-3
     ref = np.linalg.inv(a.to_dense(np.float32))
     assert np.allclose(x[:n, :n], ref, rtol=0, atol=1e-4 * np.abs(ref).max())
-    assert not x[n:, :].any() and not x[:, n:].any()
 
     # the gate rejects a singular operator instead of returning garbage
     sing = CSR.from_coo([0, 1], [0, 1], [1.0, 0.0], (2, 2))
