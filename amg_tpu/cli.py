@@ -101,6 +101,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "AMG-right-preconditioned GMRES (nonsymmetric)")
     ap.add_argument("--devices", type=int, default=0,
                     help="solve on an N-device mesh (0 = single device)")
+    ap.add_argument("--dist", type=str, default="auto",
+                    choices=["auto", "spmd", "gspmd"],
+                    help="multi-device path: spmd = hand-placed shard_map "
+                         "cycle (fewest collectives; needs an embedded "
+                         "hierarchy), gspmd = sharding-annotated solver; "
+                         "auto tries spmd first")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
                     help="capture a jax profiler trace of the solve to DIR")
     ap.add_argument("--quiet", action="store_true")
@@ -203,7 +209,23 @@ def main(argv=None) -> int:
         if args.devices and args.devices > 1:
             from .parallel import DistAMGSolver, make_mesh
 
-            solver = DistAMGSolver(a, pars, mesh=make_mesh(args.devices))
+            solver = None
+            if args.dist in ("auto", "spmd"):
+                # preferred multi-chip path: the hand-placed shard_map
+                # cycle runs ~17x fewer collective-permutes per cycle
+                # than the GSPMD-annotated solver (ROADMAP audit)
+                from .parallel.spmd_cycle import SpmdAMGSolver
+
+                try:
+                    solver = SpmdAMGSolver(a, pars,
+                                           mesh=make_mesh(args.devices))
+                except ValueError as exc:
+                    if args.dist == "spmd":
+                        raise
+                    print(f"# spmd path unavailable ({exc}); "
+                          "using the GSPMD solver")
+            if solver is None:
+                solver = DistAMGSolver(a, pars, mesh=make_mesh(args.devices))
             x, info = solver.solve(b, x0=x0)
         else:
             from .solve.driver import solver_amg

@@ -353,15 +353,154 @@ class SpmdAMGSolver:
         )
         self._shard_vector = lambda v: shard_vector(v, self.mesh)
 
+        # -- FCG wrap (pars.accel == "cg") ------------------------------
+        # The sparsified distributed cycle is a good preconditioner but
+        # not a reliable contraction at 10M-row scale (bench.py); the
+        # flexible-CG outer iteration (psum dots) is what makes the
+        # multi-chip solve robust.  Outer precision: f64 against the
+        # exact row-sharded Dia level-0 operator when pars.refine.
+        self.a0_hi = None
+        if pars.accel == "cg":
+            from jax.sharding import NamedSharding
+            from ..solve.krylov import fcg_init, fcg_step
+            from ..sparse import Dia as _Dia
+
+            hi = pars.refine and self.dtype != jnp.float64
+            self._accel_dtype = jnp.float64 if hi else self.dtype
+            if hi:
+                a_hi = _Dia.from_csr(a, dtype=jnp.float64,
+                                     pad_rows_to=self.pad)
+                self.a0_hi = _Dia(
+                    jax.device_put(
+                        a_hi.vals,
+                        NamedSharding(self.mesh, P(None, self.axis))),
+                    a_hi.offsets, a_hi.shape, a_hi.nnz)
+            hi_offsets = self.a0_hi.offsets if hi else None
+            adt = self._accel_dtype
+
+            def _amul_local(mg_l, hi_vals_l, v_l):
+                if hi:
+                    return dia_spmv_ring_local(hi_offsets, ndev, axis,
+                                               hi_vals_l, v_l)
+                return dia_spmv_ring_local(
+                    mg_l.levels[0].a.offsets, ndev, axis,
+                    mg_l.levels[0].a.vals, v_l)
+
+            def _prec_local(mg_l, r_l):
+                rn = norm2(r_l, axis)
+                scale = jnp.where(rn > 0, rn, 1.0)
+                r_lo = (r_l / scale).astype(self.dtype)
+                e = cycle_spmd(mg_l, jnp.zeros_like(r_lo), r_lo, pars,
+                               E, axis, ndev, m_local)
+                return e.astype(adt) * scale
+
+            def _accel_init_local(mg_l, hi_vals_l, x_l, b_l):
+                st = fcg_init(lambda v: _amul_local(mg_l, hi_vals_l, v),
+                              lambda r: _prec_local(mg_l, r),
+                              b_l, x_l, axis_name=axis)
+                return st, norm2(st[1], axis)
+
+            def _accel_step_local(mg_l, hi_vals_l, st):
+                return fcg_step(lambda v: _amul_local(mg_l, hi_vals_l, v),
+                                lambda r: _prec_local(mg_l, r),
+                                st, axis_name=axis)
+
+            # placeholder when running the outer loop in f32 (amul then
+            # reads the sharded hierarchy's own level-0 operator)
+            self._hi_vals = self.a0_hi.vals if hi else jax.device_put(
+                jnp.zeros((1, self.pad), self.dtype),
+                NamedSharding(self.mesh, P(None, self.axis)))
+            hi_spec = P(None, self.axis)
+            st_specs = ((P(self.axis),) * 4 + (P(),))
+            self._accel_init_fn = jax.jit(shard_map(
+                _accel_init_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, P(self.axis), P(self.axis)),
+                out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+            self._accel_step_fn = jax.jit(shard_map(
+                _accel_step_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, st_specs),
+                out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+
+    def solve_pcg(self, b, x0=None):
+        """Distributed AMG-preconditioned flexible CG: psum dots, the
+        sharded V-cycle as preconditioner, f64 outer iteration against
+        the exact row-sharded operator when ``pars.refine`` (the robust
+        mode for the sparsified 10M-row recipe)."""
+        import time
+
+        from ..params import SolveInfo
+        from ..solve.driver import print_itinfo
+        from .multihost import fetch
+
+        pars = self.pars
+        n = self.a.n_rows
+        adt = np.dtype(self._accel_dtype)
+        bd = np.zeros(self.pad, dtype=adt)
+        bd[:n] = np.asarray(b, dtype=adt)[:n]
+        xd = np.zeros(self.pad, dtype=adt)
+        if x0 is not None:
+            xd[:n] = np.asarray(x0, dtype=adt)[:n]
+        bd = self._shard_vector(bd)
+        xd = self._shard_vector(xd)
+
+        info = SolveInfo()
+        sumb = float(norm2(jnp.asarray(bd)))
+        t0 = time.perf_counter()
+        if pars.verbose:
+            print_itinfo(pars.stop_type, 0, 1.0, sumb, 0.0)
+        if sumb == 0.0:
+            return np.zeros(n), info
+        st, absres_d = self._accel_init_fn(self.mg, self._hi_vals, xd, bd)
+        absres0 = float(absres_d)
+        info.residuals.append(absres0)
+        check_every = 1 if pars.verbose else 4
+        pending = []
+        xd = st[0]
+        stop = False
+        for it in range(1, pars.max_it + 1):
+            st, absres_d = self._accel_step_fn(self.mg, self._hi_vals, st)
+            pending.append((it, st[0], absres_d))
+            if len(pending) >= check_every or it == pars.max_it:
+                vals = np.asarray(jnp.stack([r for _, _, r in pending]))
+                for (it_i, x_i, _), absres in zip(pending, vals):
+                    absres = float(absres)
+                    relres = absres / sumb
+                    if pars.verbose:
+                        print_itinfo(pars.stop_type, it_i, relres, absres,
+                                     absres / max(absres0, 1e-300))
+                    absres0 = absres
+                    if not np.isfinite(absres):
+                        stop = True
+                        break
+                    info.ares, info.rres, info.nits = absres, relres, it_i
+                    info.residuals.append(absres)
+                    xd = x_i
+                    if relres < pars.tol:
+                        stop = True
+                        break
+                pending = []
+            if stop:
+                break
+        info.solve_seconds = time.perf_counter() - t0
+        info.setup_seconds = self.host_hierarchy.setup_seconds
+        return fetch(xd)[:n], info
+
     def solve(self, b, x0=None):
         """Host loop over the jitted shard_map step (same stopping rules
-        as AMGSolver.solve)."""
+        as AMGSolver.solve).  Dispatches to :meth:`solve_pcg` when
+        ``pars.accel == "cg"``."""
         import time
 
         from ..params import SolveInfo
         from ..solve.driver import print_itinfo
 
         pars = self.pars
+        if pars.accel == "cg":
+            return self.solve_pcg(b, x0)
         n = self.a.n_rows
         bd = np.zeros(self.pad, dtype=self.dtype)
         bd[:n] = np.asarray(b, dtype=self.dtype)[:n]

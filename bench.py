@@ -88,7 +88,14 @@ def main():
     # (masked GS costs n_colors operator passes per sweep on an embedded
     # level); level 0 keeps the configured smoother.
     coarse_sm = os.environ.get("AMG_BENCH_COARSE_SMOOTHER", "CHEBYSHEV")
-    coarse_od = os.environ.get("AMG_BENCH_COARSE_OP_DTYPE", "bfloat16")
+    # Per-class defaults (measured, fem2d 1M, FCG f64 outer): on
+    # unstructured matrices bf16 coarse operators cost 34->48 its and
+    # sparsify 0.005 costs 16->34 its — their byte savings nowhere near
+    # pay for the lost convergence — while on structured grids both are
+    # near-free and sparsify is what keeps 10M-row setups in HBM.
+    coarse_od = os.environ.get(
+        "AMG_BENCH_COARSE_OP_DTYPE",
+        "float32" if matrix_spec else "bfloat16")
     # Default acceleration by scale.  Small/medium grids: stand-alone
     # cycling + defect correction (FCG's extra f64 matvec + dots + per-
     # iteration dispatch cost more through the remote-execution relay
@@ -104,7 +111,8 @@ def main():
                            "cg" if (n_side >= 128 or matrix_spec)
                            else "none")
     embed_bytes = float(os.environ.get("AMG_BENCH_EMBED_BYTES", "6e9"))
-    sparsify = float(os.environ.get("AMG_BENCH_SPARSIFY", "0.005"))
+    sparsify = float(os.environ.get(
+        "AMG_BENCH_SPARSIFY", "0" if matrix_spec else "0.005"))
     sparsify_from = int(os.environ.get("AMG_BENCH_SPARSIFY_FROM", "2"))
     banded_bytes = float(os.environ.get("AMG_BENCH_BANDED_BYTES", "3.5e9"))
     # collapse the deep dense tail into one MXU inverse apply: stop

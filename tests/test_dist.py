@@ -189,6 +189,35 @@ def test_spmd_cycle_matches_single_device():
     np.testing.assert_allclose(x2, x1, rtol=1e-8, atol=1e-10)
 
 
+def test_spmd_fcg_matches_single_device():
+    """The distributed FCG wrap (psum dots, sharded V-cycle
+    preconditioner, f64 outer vs the exact sharded operator) matches the
+    single-device solve_pcg on the emulated 8-device mesh — the robust
+    mode the 10M-row sparsified recipe needs (VERDICT r3 item 3)."""
+    import amg_tpu as amg
+    from amg_tpu.params import AMGParams, SmootherType
+    from amg_tpu.parallel import make_mesh
+    from amg_tpu.parallel.spmd_cycle import SpmdAMGSolver
+
+    a = amg.poisson3d(16)
+    b = np.random.default_rng(31).standard_normal(a.n_rows)
+    pars = AMGParams(verbose=0, tol=1e-10, embed_levels=8, accel="cg",
+                     refine=True, coarse_sparsify=0.005,
+                     sparsify_from_level=2,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    ref = amg.AMGSolver(a, pars, log=lambda *x: None)
+    x1, i1 = ref.solve(b)
+
+    s = SpmdAMGSolver(a, pars, mesh=make_mesh(8), log=lambda *x: None)
+    x2, i2 = s.solve(b)  # dispatches to solve_pcg
+    assert i2.rres < 1e-10
+    assert abs(i1.nits - i2.nits) <= 1
+    # f64 outer: both converge to the same solution to outer precision
+    np.testing.assert_allclose(x2, x1, rtol=1e-9, atol=1e-12)
+    r = b - a.matvec(np.asarray(x2, dtype=np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+
+
 def test_spmd_cycle_chebyshev_everywhere():
     """shard_map cycle with Chebyshev on level 0 too (no GS masks)."""
     import amg_tpu as amg
