@@ -1116,10 +1116,18 @@ def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
     pad_ns = -(-max(pad_c, 1) // 512) * 512
     full = np.eye(pad_ns, dtype=np.float32)
     full[:n, :n] = ac.to_dense(np.float32)
+    timers = os.environ.get("AMG_SETUP_TIMERS", "0") == "1"
+    t_ns = time.perf_counter()
     try:
         x, res = jax.jit(_ns_inverse_program, static_argnums=(1,))(
             jnp.asarray(full), n_iters)
         res = float(res)
+        if timers:
+            import sys
+
+            print(f"  ns attempt (pad {pad_ns}): "
+                  f"{time.perf_counter() - t_ns:.2f}s res={res:.2e}",
+                  file=sys.stderr, flush=True)
         # zero the pad block (identity inverse) and crop to the level pad;
         # host numpy so the compiled program stays n-independent
         x = np.asarray(x)[:pad_c, :pad_c].copy()

@@ -117,6 +117,10 @@ def main():
             sizes.append(n)
             n *= 2
 
+    # AMG_DIST_SOLVER: spmd (default; hand-placed shard_map cycle, the
+    # preferred multi-chip path) | gspmd (sharding-annotated solver) |
+    # spmd-cg (shard_map FCG wrap — the robust 10M-row mode)
+    which = os.environ.get("AMG_DIST_SOLVER", "spmd")
     for ndev in sizes:
         n_side = max(int(round((rows_per_dev * ndev) ** (1.0 / 3.0))), 8)
         a = amg.poisson3d(n_side)
@@ -124,10 +128,20 @@ def main():
             tol=1e-8, dtype="float32", refine=True, verbose=0,
             coarse_smoother=SmootherType.CHEBYSHEV,
             coarse_op_dtype="bfloat16",
+            accel="cg" if which == "spmd-cg" else "none",
         )
         mesh = make_mesh(ndev)
         t0 = time.perf_counter()
-        solver = DistAMGSolver(a, pars, mesh=mesh, log=log)
+        if which in ("spmd", "spmd-cg"):
+            from amg_tpu.parallel.spmd_cycle import SpmdAMGSolver
+
+            try:
+                solver = SpmdAMGSolver(a, pars, mesh=mesh, log=log)
+            except ValueError as exc:
+                log(f"spmd unavailable at N={ndev} ({exc}); gspmd")
+                solver = DistAMGSolver(a, pars, mesh=mesh, log=log)
+        else:
+            solver = DistAMGSolver(a, pars, mesh=mesh, log=log)
         setup_s = time.perf_counter() - t0
         b = np.ones(a.n_rows)
         solver.solve(b)  # warmup (compile)
