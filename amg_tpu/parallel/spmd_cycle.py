@@ -151,12 +151,32 @@ def _masked_gs_local(level, x, b, order, axis, n_shards):
     return x
 
 
+def _gs_sweep_local(level, x, b, order, axis, n_shards, relax=None):
+    """One masked GS sweep over color groups with ring SpMVs (the
+    shard_map counterpart of solve/smoothers.py::gs_sweep)."""
+    for g in order:
+        ax = _ring_spmv(level.a, x, axis, n_shards)
+        t = (b - ax + level.diag * x) * level.inv_diag
+        if relax is not None:
+            t = (1.0 - relax) * x + relax * t
+        upd = (level.gid == g) & (level.inv_diag != 0)
+        x = jnp.where(upd, t, x)
+    return x
+
+
 def _smooth_local(level, x, b, pars, nsweeps, pre, axis, n_shards):
-    from ..solve.smoothers import _order
+    """Distributed smoother dispatch — the full SmootherType surface of
+    solve/smoothers.py::smooth, with every operator application a ring
+    halo-exchange product and every dot a psum."""
+    from ..solve.smoothers import _order, _cg_smooth
 
     sm = pars.smoother
     if sm in (SmootherType.POLY, SmootherType.CHEBYSHEV):
         return _chebyshev_local(level, x, b, pars.poly_deg, axis, n_shards)
+    if sm == SmootherType.CG:
+        return _cg_smooth(level, x, b, nsweeps, axis_name=axis,
+                          spmv_fn=lambda v: _ring_spmv(level.a, v, axis,
+                                                       n_shards))
     if sm in (SmootherType.JACOBI, SmootherType.WJACOBI):
         w = 1.0 if sm == SmootherType.JACOBI else pars.relax
         for _ in range(nsweeps):
@@ -168,21 +188,34 @@ def _smooth_local(level, x, b, pars, nsweeps, pre, axis, n_shards):
             x = x + level.l1_inv * (
                 b - _ring_spmv(level.a, x, axis, n_shards))
         return x
-    if sm in (SmootherType.GS, SmootherType.SOR):
-        relax = None if sm == SmootherType.GS else pars.relax
-        for _ in range(nsweeps):
-            order = _order(level, pre, pars.cf_order, pre)
-            for g in order:
-                ax = _ring_spmv(level.a, x, axis, n_shards)
-                t = (b - ax + level.diag * x) * level.inv_diag
-                if relax is not None:
-                    t = (1.0 - relax) * x + relax * t
-                upd = (level.gid == g) & (level.inv_diag != 0)
-                x = jnp.where(upd, t, x)
-        return x
-    raise ValueError(
-        f"smoother {sm} not supported in the shard_map cycle "
-        "(supported: GS/SOR/Jacobi/WJacobi/L1/Chebyshev)")
+
+    relax = pars.relax
+    sweep = lambda x, order, rlx=None: _gs_sweep_local(
+        level, x, b, order, axis, n_shards, relax=rlx)
+    fwd = lambda: _order(level, True, 0, True)
+    bwd = lambda: _order(level, False, 0, False)
+    for _ in range(nsweeps):
+        if sm == SmootherType.GS:
+            x = sweep(x, _order(level, pre, pars.cf_order, pre))
+        elif sm == SmootherType.SOR:
+            x = sweep(x, _order(level, pre, pars.cf_order, pre), relax)
+        elif sm == SmootherType.SGS:
+            x = sweep(x, fwd())
+            x = sweep(x, bwd())
+        elif sm == SmootherType.SSOR:
+            x = sweep(x, fwd(), relax)
+            x = sweep(x, bwd(), relax)
+        elif sm == SmootherType.GSOR:
+            x = sweep(x, _order(level, pre, pars.cf_order, pre))
+            x = sweep(x, _order(level, pre, pars.cf_order, pre), relax)
+        elif sm == SmootherType.SGSOR:
+            x = sweep(x, fwd())
+            x = sweep(x, bwd())
+            x = sweep(x, fwd(), relax)
+            x = sweep(x, bwd(), relax)
+        else:
+            raise ValueError(f"unsupported smoother {sm}")
+    return x
 
 
 def _cycle_local(mg, l, x, b, pars, ctol, E, axis, n_shards, m_local):

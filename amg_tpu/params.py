@@ -24,7 +24,8 @@ class SmootherType(enum.IntEnum):
     JACOBI = 1
     GS = 2
     SGS = 3
-    CG = 4          # reserved in reference; maps to Krylov-smoothing
+    CG = 4          # Krylov smoothing: fixed-step Jacobi-PCG sweeps
+                    # (nonlinear — pair with a flexible outer wrap)
     SOR = 5
     SSOR = 6
     GSOR = 7

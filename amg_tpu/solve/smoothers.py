@@ -189,6 +189,38 @@ def _chebyshev(level, x, b, degree):
     return x
 
 
+def _cg_smooth(level, x, b, nsweeps, axis_name=None, spmv_fn=None):
+    """Krylov smoothing: ``nsweeps`` steps of Jacobi-preconditioned CG on
+    A x = b from the incoming iterate (``SSS_SM_CG``, reference enum
+    amg/SSS_main.h:133-145 — declared there, dead in its dispatch).
+
+    Fixed iteration count, no convergence test: jit-safe by construction.
+    Note CG smoothing is a *nonlinear* operation, so the outer Krylov wrap
+    (if any) should be flexible (FCG / FGMRES) — same caveat as any
+    variable preconditioner.
+    """
+    from ..ops.spmv import spmv as _spmv
+    from ..ops.blas import dot
+
+    apply_a = spmv_fn if spmv_fn is not None else (
+        lambda v: _spmv(level.a, v))
+    eps = jnp.asarray(1e-30, x.dtype)
+    r = b - apply_a(x)
+    z = level.inv_diag * r
+    p = z
+    rz = dot(r, z, axis_name)
+    for _ in range(nsweeps):
+        ap = apply_a(p)
+        alpha = rz / (dot(p, ap, axis_name) + eps)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = level.inv_diag * r
+        rz_new = dot(r, z, axis_name)
+        p = z + (rz_new / (rz + eps)) * p
+        rz = rz_new
+    return x
+
+
 def smooth(level, x, b, pars, nsweeps: int, pre: bool):
     """Apply ``nsweeps`` of the configured smoother.
 
@@ -204,6 +236,9 @@ def smooth(level, x, b, pars, nsweeps: int, pre: bool):
         # nsweeps times would restart the recurrence (same work as degree
         # nsweeps*d but weaker) — apply once per pre/post call
         return _chebyshev(level, x, b, pars.poly_deg)
+
+    if sm == SmootherType.CG:
+        return _cg_smooth(level, x, b, nsweeps)
 
     for _ in range(nsweeps):
         if sm == SmootherType.GS:

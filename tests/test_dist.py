@@ -234,3 +234,75 @@ def test_spmd_cycle_chebyshev_everywhere():
     assert info.rres < 1e-6
     r = b - a.matvec(np.asarray(x, dtype=np.float64))
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sm", [
+    SmootherType.SGS, SmootherType.SSOR, SmootherType.GSOR,
+    SmootherType.SGSOR, SmootherType.CG,
+])
+def test_spmd_smoother_surface_full_solve(sm):
+    """Full shard_map solves with every symmetric/relaxed/Krylov smoother
+    reproduce the single-device solve (slow: each compiles a full
+    distributed cycle on the emulated mesh)."""
+    import amg_tpu as amg
+    from amg_tpu.parallel import make_mesh
+    from amg_tpu.parallel.spmd_cycle import SpmdAMGSolver
+
+    a = amg.poisson3d(12)
+    b = np.random.default_rng(37).standard_normal(a.n_rows)
+    pars = AMGParams(verbose=0, tol=1e-8, embed_levels=8, relax=0.9,
+                     smoother=sm, max_it=80,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    ref = amg.AMGSolver(a, pars, log=lambda *x: None)
+    x1, i1 = ref.solve(b)
+
+    s = SpmdAMGSolver(a, pars, mesh=make_mesh(4), log=lambda *x: None)
+    x2, i2 = s.solve(b)
+    assert i2.rres < 1e-8
+    assert abs(i1.nits - i2.nits) <= 1
+    np.testing.assert_allclose(x2, x1, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("sm", [
+    SmootherType.SGS, SmootherType.SSOR, SmootherType.GSOR,
+    SmootherType.SGSOR, SmootherType.CG,
+])
+def test_spmd_smoother_matches_single_device(sm):
+    """_smooth_local under shard_map == solve.smoothers.smooth for every
+    SmootherType (VERDICT r4 item 7: the distributed path must not
+    silently narrow the smoother surface).  Compiles only the smoother,
+    not the whole cycle, so it stays in the default suite."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import amg_tpu as amg
+    from amg_tpu.hierarchy import setup
+    from amg_tpu.parallel import make_mesh, shard_hierarchy
+    from amg_tpu.parallel.spmd_cycle import (_smooth_local, _level_specs,
+                                             num_embedded)
+    from amg_tpu.solve.smoothers import smooth
+
+    a = amg.poisson3d(12)
+    pars = AMGParams(verbose=0, embed_levels=8, relax=0.9, smoother=sm)
+    mg, _ = setup(a, pars, log=lambda *x: None)
+    assert num_embedded(mg) >= 1
+    mesh = make_mesh(4)
+    axis = mesh.axis_names[0]
+    smg = shard_hierarchy(mg, mesh, pars, replicate_from_level=1)
+    lvl, slvl = mg.levels[0], smg.levels[0]
+    pad = lvl.pad
+    rng = np.random.default_rng(41)
+    x0 = jnp.asarray(rng.standard_normal(pad))
+    b0 = jnp.asarray(rng.standard_normal(pad))
+
+    want = np.asarray(smooth(lvl, x0, b0, pars, 2, pre=True))
+
+    fn = shard_map(
+        lambda l, x, b: _smooth_local(l, x, b, pars, 2, True, axis, 4),
+        mesh=mesh,
+        in_specs=(_level_specs(slvl, True, axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    got = np.asarray(fn(slvl, x0, b0))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)

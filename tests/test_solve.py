@@ -115,7 +115,7 @@ def test_cf_groups_order():
     SmootherType.GS, SmootherType.SGS, SmootherType.JACOBI,
     SmootherType.WJACOBI, SmootherType.L1DIAG, SmootherType.SOR,
     SmootherType.SSOR, SmootherType.POLY, SmootherType.GSOR,
-    SmootherType.SGSOR,
+    SmootherType.SGSOR, SmootherType.CG,
 ])
 def test_smoothers_reduce_error(sm):
     a = amg.poisson2d(8)

@@ -353,7 +353,7 @@ def test_well_df64_spmv(rng):
     w = WEll.from_csr_df64(a)
     # split reproduces the f64 operator
     back = w.to_csr().to_scipy() - a.to_scipy()
-    assert np.abs(back.data).max() if back.nnz else 0 < 1e-15
+    assert (np.abs(back.data).max() if back.nnz else 0.0) < 1e-15
 
     x = rng.standard_normal(a.n_cols)
     want = a.to_scipy() @ x
