@@ -112,7 +112,7 @@ def main():
             base_nnz_s = float(os.environ["AMG_DIST_BASE_NNZ_S"])
     else:
         sizes = []
-        n = 1
+        n = int(os.environ.get("AMG_DIST_MIN_DEV", "1"))
         while n <= ndev_avail:
             sizes.append(n)
             n *= 2
