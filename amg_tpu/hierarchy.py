@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -1069,30 +1070,98 @@ def _level_from_csr(
 # diagonal-ratio condition estimate to skip the doomed device attempt.
 _NS_MIN_ROWS = 3072
 _NS_ITERS = 48
+_NS_HI_ITERS = 8   # trailing HIGHEST-precision iterations of the schedule
 _NS_KAPPA_SCREEN = 1e7  # diag-ratio screen (crude; order-of-magnitude)
 
 
-def _ns_inverse_program(a, n_iters: int):
+def _ns_inverse_program(a, n_iters: int, n_hi: int = _NS_HI_ITERS):
     """Statically-unrolled Newton-Schulz iteration X <- X (2I - A X).
 
     Pure matmuls (MXU work, no data-dependent control flow), converging
     quadratically to A^{-1} from the universally-safe start
-    X0 = A^T / (||A||_1 ||A||_inf).  Runs at HIGHEST precision — the TPU
-    default single-pass bf16 matmul would cap the attainable residual at
-    ~1e-2.  Returns (X, max|A X - I|) so the caller can verify cheaply;
-    the pad-block zeroing happens host-side so the program depends only
-    on the (bucketed) shape, not on the true row count — one compile
-    serves every nearby coarsest level."""
+    X0 = A^T / (||A||_1 ||A||_inf).  Mixed-precision schedule: Newton
+    iterations are self-correcting, so the bulk of the contraction runs
+    at HIGH (3-pass bf16, ~half the MXU passes) and only the last
+    ``n_hi`` iterations — the ones that set the final residual — at
+    HIGHEST (6-pass, full f32).  The TPU default single-pass bf16
+    matmul would cap the attainable residual at ~1e-2, hence >= HIGH
+    everywhere.  Returns (X, max|A X - I|) so the caller can verify
+    cheaply; pad-block zeroing happens in :func:`_ns_crop` so the
+    program depends only on the (bucketed) shape, not on the true row
+    count — one compile serves every nearby coarsest level."""
     hi = jax.lax.Precision.HIGHEST
+    mid = jax.lax.Precision.HIGH
     pad = a.shape[0]
     eye = jnp.eye(pad, dtype=a.dtype)
     x = a.T / (jnp.max(jnp.sum(jnp.abs(a), axis=0))
                * jnp.max(jnp.sum(jnp.abs(a), axis=1)))
-    for _ in range(n_iters):
-        ax = jnp.matmul(a, x, precision=hi)
-        x = jnp.matmul(x, 2.0 * eye - ax, precision=hi)
+    for k in range(n_iters):
+        prec = hi if k >= n_iters - n_hi else mid
+        ax = jnp.matmul(a, x, precision=prec)
+        x = jnp.matmul(x, 2.0 * eye - ax, precision=prec)
     res = jnp.max(jnp.abs(jnp.matmul(a, x, precision=hi) - eye))
     return x, res
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _ns_crop(x, n, pad_c: int):
+    """Crop the bucketed NS result to the level pad and zero the pad
+    block, ON DEVICE: the 1-core host route (np.asarray -> slice ->
+    re-upload) costs a full matrix round-trip through the execution
+    relay (measured ~14 MB/s device->host = ~12 s for a 6.6k coarsest
+    level) for work that is one cheap masked slice on the VPU."""
+    x = jax.lax.slice(x, (0, 0), (pad_c, pad_c))
+    i = jnp.arange(pad_c)
+    mask = (i[:, None] < n) & (i[None, :] < n)
+    return jnp.where(mask, x, jnp.zeros((), x.dtype))
+
+
+def _is_relay() -> bool:
+    """True when the TPU is reached through the axon execution relay
+    (shared pool; per-dispatch RTT and congestion-dependent execution
+    latency) rather than directly attached."""
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    try:
+        from jax._src import xla_bridge
+
+        return "axon" in str(
+            getattr(xla_bridge.get_backend(), "platform_version", ""))
+    except Exception:
+        return False
+
+
+def _ns_marker_path(pad_ns: int, n_iters: int):
+    """Marker file recording that the NS program for this shape bucket is
+    in the persistent compile cache.  A fresh NS compile through the
+    remote-compile relay costs ~70 s — 5x the one-core host LAPACK
+    inverse it would replace — so a cold cache must not pay it on the
+    setup critical path; the marker lives inside the jax cache dir so
+    clearing one clears both."""
+    d = jax.config.jax_compilation_cache_dir
+    if not d or not os.path.isdir(d):
+        return None
+    kind = jax.devices()[0].device_kind.replace(" ", "_")
+    return os.path.join(
+        d, f"ns_marker_{pad_ns}_{n_iters}_{_NS_HI_ITERS}_{kind}")
+
+
+def _ns_warm_compile_async(pad_ns: int, n_iters: int, marker: str):
+    """Compile the NS program off the critical path (daemon thread) and
+    touch the marker so the NEXT setup takes the fast device route."""
+    import threading
+
+    def work():
+        try:
+            jax.jit(_ns_inverse_program, static_argnums=(1, 2)).lower(
+                jax.ShapeDtypeStruct((pad_ns, pad_ns), np.float32),
+                n_iters, _NS_HI_ITERS).compile()
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        except Exception:   # background warm: best-effort only
+            pass
+
+    threading.Thread(target=work, daemon=True).start()
 
 
 def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
@@ -1114,13 +1183,39 @@ def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
     # compiled 2*n_iters-matmul program (through a remote-compile relay a
     # fresh compile costs minutes; the pad block is identity, harmless)
     pad_ns = -(-max(pad_c, 1) // 512) * 512
+    # Routing (measured on this environment, VERDICT r4 item 2): through
+    # the shared axon execution relay the SAME cached NS program ran in
+    # 5 s at low pool load and 113-124 s under congestion, while the
+    # one-core host LAPACK inverse is a deterministic ~14 s — so on a
+    # relay, LAPACK wins in expectation and, worse, a cold NS compile
+    # (~70 s) would land on the critical path.  On a direct-attached TPU
+    # the NS route (~2 s warm) wins; gate it on the compile-cache marker
+    # so a compile-cold machine pays LAPACK + a background warm instead.
+    # AMG_COARSE_INV=ns forces the device route either way.
+    marker = _ns_marker_path(pad_ns, n_iters)
+    forced = os.environ.get("AMG_COARSE_INV", "auto") == "ns"
+    if not forced:
+        if _is_relay():
+            return None     # congestion lottery: deterministic LAPACK wins
+        if marker is None:
+            return None     # no persistent cache: every compile would be paid
+        if not os.path.exists(marker):
+            _ns_warm_compile_async(pad_ns, n_iters, marker)
+            return None
     full = np.eye(pad_ns, dtype=np.float32)
     full[:n, :n] = ac.to_dense(np.float32)
     timers = os.environ.get("AMG_SETUP_TIMERS", "0") == "1"
     t_ns = time.perf_counter()
     try:
-        x, res = jax.jit(_ns_inverse_program, static_argnums=(1,))(
-            jnp.asarray(full), n_iters)
+        x, res = jax.jit(_ns_inverse_program, static_argnums=(1, 2))(
+            jnp.asarray(full), n_iters, _NS_HI_ITERS)
+        if marker is not None and not os.path.exists(marker):
+            # program is now in the persistent cache (whatever res says)
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        # crop + pad-block zero stay on device (n passed as a traced
+        # scalar so the program is row-count independent)
+        x = _ns_crop(x, jnp.int32(n), pad_c)
         res = float(res)
         if timers:
             import sys
@@ -1128,12 +1223,6 @@ def _ns_coarse_inverse(ac: CSR, pad_c: int, n_iters: int = _NS_ITERS):
             print(f"  ns attempt (pad {pad_ns}): "
                   f"{time.perf_counter() - t_ns:.2f}s res={res:.2e}",
                   file=sys.stderr, flush=True)
-        # zero the pad block (identity inverse) and crop to the level pad;
-        # host numpy so the compiled program stays n-independent
-        x = np.asarray(x)[:pad_c, :pad_c].copy()
-        x[n:, :] = 0.0
-        x[:, n:] = 0.0
-        x = jnp.asarray(x)
     except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as exc:
         # device/runtime trouble -> routine host fallback, but say so:
         # a silent blanket except would mask real programming errors

@@ -229,3 +229,193 @@ def spmv_dia_ring(d: Dia, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
         check_vma=False,
     )
     return fn(d.vals, x)
+
+
+# ---------------------------------------------------------------------------
+# WEll ring (round 5): the multi-chip path for unstructured levels
+# ---------------------------------------------------------------------------
+
+
+def well_shard_plan(w, n_shards: int) -> tuple[int, int]:
+    """Per-mesh halo widths (in 128-entry sublane units) for a row-sharded
+    WEll operator.
+
+    Shard ``s`` owns row groups ``[s*gps, (s+1)*gps)`` and the matching
+    x block; every ACTIVE slot's 1024-wide window must fall inside the
+    shard's haloed x view ``[s*m128 - lo, (s+1)*m128 + hi)``.  After the
+    RCM / barycentric ordering windows hug the diagonal, so lo/hi come
+    out near the matrix's (block) bandwidth — the same locality that
+    makes the single-chip kernel fast makes the halo thin.  Inactive
+    (all-zero) slots are ignored: the packer leaves their base at 0,
+    which would otherwise drag ``lo`` to a full-mesh halo.
+    """
+    base = np.asarray(w.base)            # (ngroups, S)
+    vals = np.asarray(w.vals)
+    ngroups = base.shape[0]
+    if ngroups % n_shards != 0:
+        raise ValueError(f"ngroups {ngroups} not divisible by {n_shards}")
+    gps = ngroups // n_shards
+    m128 = gps * 8
+    active = vals.reshape(ngroups, base.shape[1], -1).any(axis=2)
+    lo = hi = 0
+    for s in range(n_shards):
+        bs = base[s * gps:(s + 1) * gps]
+        act = active[s * gps:(s + 1) * gps]
+        if not act.any():
+            continue
+        bmin = int(bs[act].min())
+        bmax = int(bs[act].max())
+        lo = max(lo, s * m128 - bmin)
+        hi = max(hi, bmax + 8 - (s + 1) * m128)
+    return max(lo, 0), max(hi, 0)
+
+
+def well_spmv_ring_local(w, x_local: jnp.ndarray, axis_name: str,
+                         n_shards: int, lo128: int, hi128: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """One shard's y = (A x)_local for a groups-sharded WEll operator.
+
+    Call INSIDE shard_map with ``w`` sliced to this shard's groups
+    (specs: vals/loc P(axis,...), base P(axis, None)).  Neighbor x
+    blocks arrive via the same multi-hop ``ppermute`` rings as the DIA
+    path; window bases are rebased to the local haloed view and clamped
+    (inactive slots carry zero values, so their clamped window reads are
+    harmless).  Local compute is the single-chip windowed-gather Pallas
+    kernel — the shard_map composition GSPMD cannot express.
+    """
+    from ..ops import pallas_well
+
+    m = x_local.shape[0]
+    m128 = m // 128
+    lo, hi = lo128 * 128, hi128 * 128
+    offsets = (-lo,) if lo else ()
+    offsets = offsets + ((hi,) if hi else ())
+    if offsets:
+        left, right = _ring_halos(offsets, n_shards, axis_name, x_local)
+    else:
+        left = right = None
+    parts = ([left] if left is not None else []) + [x_local] \
+        + ([right] if right is not None else [])
+    xw = jnp.concatenate(parts) if len(parts) > 1 else x_local
+    xrows = lo128 + m128 + hi128
+
+    s_idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    off = s_idx * jnp.int32(m128) - jnp.int32(lo128)
+    base_local = jnp.clip(w.base.astype(jnp.int32) - off, 0,
+                          jnp.int32(max(xrows - 8, 0)))
+
+    ngroups_l = w.vals.shape[0]
+    use_kernel = interpret or (
+        pallas_well._platform() == "tpu"
+        and pallas_well.will_use(ngroups_l, w.n_slots, xrows * 128,
+                                 w.vals.dtype, xw.dtype)
+    )
+    if use_kernel:
+        fn = pallas_well._build(ngroups_l, w.n_slots, xrows,
+                                str(xw.dtype), str(w.vals.dtype),
+                                interpret=interpret)
+        return fn(base_local.reshape(-1), xw.reshape(xrows, 128),
+                  w.loc, w.vals).reshape(ngroups_l * 1024)
+    # XLA fallback (CPU tests without interpret): same windowed-gather
+    # math as the kernel, vmapped over (group, slot) so the program body
+    # stays small (a per-slot unroll compiled minutes on CPU)
+    x2d = xw.reshape(xrows, 128)
+
+    def slot(b, lc, v):
+        tbl = jax.lax.dynamic_slice(x2d, (b, jnp.int32(0)), (8, 128))
+        q_tab = jax.lax.shift_right_logical(lc, jnp.int32(16))
+        r = jax.lax.bitwise_and(lc, jnp.int32(127))
+        gx = jnp.take_along_axis(
+            jnp.take_along_axis(tbl, q_tab.astype(jnp.int32), axis=0),
+            r.astype(jnp.int32), axis=1)
+        return v.astype(xw.dtype) * gx
+
+    outs = jax.vmap(jax.vmap(slot))(base_local, w.loc, w.vals).sum(axis=1)
+    return outs.astype(xw.dtype).reshape(ngroups_l * 1024)
+
+
+def spmv_well_ring(w, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
+                   interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x with a WEll operator row-group-sharded over
+    ``mesh[axis]`` — the wrapped convenience entry (tests / direct use).
+    """
+    from jax import shard_map
+
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                            if a == axis]))
+    lo128, hi128 = well_shard_plan(w, n_shards)
+    pad = w.padded_rows
+    xp = jnp.pad(x, (0, pad - x.shape[0])) if x.shape[0] < pad else x[:pad]
+
+    from ..sparse import WEll as _WEll
+
+    specs = _WEll(P(axis, None, None, None), P(axis, None, None, None),
+                  P(axis, None), w.shape, w.nnz, w.pad_cols,
+                  None if w.vals_lo is None else P(axis, None, None, None))
+    fn = shard_map(
+        lambda wl, xl: well_spmv_ring_local(wl, xl, axis, n_shards,
+                                            lo128, hi128,
+                                            interpret=interpret),
+        mesh=mesh,
+        in_specs=(specs, P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(w, xp)
+
+
+# ---------------------------------------------------------------------------
+# BandedBlocks ring (round 5): block-banded MXU levels across the mesh
+# ---------------------------------------------------------------------------
+
+
+def banded_spmv_ring_local(nb: int, n_shards: int, axis_name: str,
+                           vals_local: jnp.ndarray,
+                           x_local: jnp.ndarray) -> jnp.ndarray:
+    """One shard's y = (A x)_local for a block-row-sharded BandedBlocks
+    operator: the halo is exactly ``nb`` 128-blocks each way (the block
+    band), then the same batched-MXU product as the single-chip
+    :func:`amg_tpu.ops.spmv.spmv_banded`.  Out-of-mesh halo blocks read
+    zeros — identical to the global operator's zero padding.
+    """
+    nbr_l, w = vals_local.shape[0], vals_local.shape[1]
+    m = nbr_l * 128
+    halo = nb * 128
+    if halo:
+        left, right = _ring_halos((-halo, halo), n_shards, axis_name,
+                                  x_local)
+        xw = jnp.concatenate([left, x_local, right])
+    else:
+        xw = x_local
+    xw = xw.astype(vals_local.dtype)
+    xws = jnp.stack(
+        [jax.lax.slice(xw, (d * 128,), (d * 128 + m,)).reshape(nbr_l, 128)
+         for d in range(w)],
+        axis=1,
+    )
+    y = jnp.einsum("idrc,idc->ir", vals_local, xws,
+                   preferred_element_type=x_local.dtype)
+    return y.reshape(m).astype(x_local.dtype)
+
+
+def spmv_banded_ring(a, x: jnp.ndarray, mesh: Mesh,
+                     axis: str = "x") -> jnp.ndarray:
+    """y = A @ x with a BandedBlocks operator block-row-sharded over
+    ``mesh[axis]``."""
+    from jax import shard_map
+
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                            if a == axis]))
+    nbr = a.vals.shape[0]
+    if nbr % n_shards != 0:
+        raise ValueError(f"block rows {nbr} not divisible by {n_shards}")
+    pad = nbr * 128
+    xp = jnp.pad(x, (0, pad - x.shape[0])) if x.shape[0] < pad else x[:pad]
+    fn = shard_map(
+        partial(banded_spmv_ring_local, a.nb, n_shards, axis),
+        mesh=mesh,
+        in_specs=(P(axis, None, None, None), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(a.vals, xp)

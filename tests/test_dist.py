@@ -306,3 +306,62 @@ def test_spmd_smoother_matches_single_device(sm):
         out_specs=P(axis), check_vma=False)
     got = np.asarray(fn(slvl, x0, b0))
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_well_ring_spmv_matches_global():
+    """Groups-sharded WEll ring SpMV == global WEll SpMV on the emulated
+    mesh (VERDICT r4 item 4: the fast unstructured format must not turn
+    itself off when a second chip appears).  Checks both the XLA
+    fallback and the interpret-mode Pallas kernel."""
+    import jax.numpy as jnp
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.sparse import WEll
+    from amg_tpu.ops.spmv import spmv
+    from amg_tpu.parallel.halo import spmv_well_ring, well_shard_plan
+    from amg_tpu.hierarchy import reorder_l0_for_well  # noqa: F401
+
+    a = fem2d(6000, seed=7)
+    # bandwidth-reduce like the production pack (windows hug the diagonal)
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
+    perm = np.asarray(reverse_cuthill_mckee(m, symmetric_mode=True),
+                      dtype=np.int64)
+    a = a.permute(perm)
+
+    w = WEll.from_csr(a, dtype=jnp.float32, pad_rows_to=8 * 1024)
+    lo, hi = well_shard_plan(w, 4)
+    assert lo + hi < 4 * w.padded_rows // 128  # halos thinner than the mesh
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        w.pad_cols).astype(np.float32))
+    want = np.asarray(spmv(w, x))[: w.padded_rows]
+
+    mesh = make_mesh(4)
+    got = np.asarray(spmv_well_ring(w, x, mesh))
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+
+    got_k = np.asarray(spmv_well_ring(w, x, mesh, interpret=True))
+    np.testing.assert_allclose(got_k / scale, want / scale, atol=2e-6)
+
+
+def test_banded_ring_spmv_matches_global():
+    """Block-row-sharded BandedBlocks ring SpMV == global spmv_banded on
+    the emulated mesh."""
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.sparse import BandedBlocks
+    from amg_tpu.ops.spmv import spmv_banded
+    from amg_tpu.parallel.halo import spmv_banded_ring
+
+    a = amg.poisson2d(32)  # 1024 rows -> 8 blocks of 128, nb = 1
+    b = BandedBlocks.from_csr(a, dtype=jnp.float32)
+    assert b.vals.shape[0] % 8 == 0
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        b.padded_rows).astype(np.float32))
+    want = np.asarray(spmv_banded(b, x))
+    got = np.asarray(spmv_banded_ring(b, x, make_mesh(8)))
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
