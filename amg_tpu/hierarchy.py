@@ -296,7 +296,8 @@ def reorder_for_gs(hh: HostHierarchy, pars: AMGParams,
     from .setup_phase.coloring import color_graph
 
     banded_on = pars.use_banded == "on" or (
-        pars.use_banded == "auto" and jax.device_count() == 1
+        pars.use_banded == "auto"
+        and (jax.device_count() == 1 or pars.dist_devices > 1)
     )
     op_itemsize = np.dtype(
         pars.dtype if pars.coarse_op_dtype == "same" else pars.coarse_op_dtype
@@ -689,7 +690,7 @@ def _embedded_level(
     if l == 0:
         a_dev = Dia.from_csr(
             al, dtype=dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(al, pad0, dtype),
+            blocked=_dia_blocked(al, pad0, dtype, pars.dist_devices),
         ) if _pick_format(al, pars) == "dia" else None
         if a_dev is None:
             raise ValueError("embedded hierarchy requires a banded A_0")
@@ -698,7 +699,7 @@ def _embedded_level(
         a_emb = _embed_csr_cached(al, rl, rl, n0, hist_cache)
         a_dev = Dia.from_csr(
             a_emb, dtype=op_dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(a_emb, pad0, op_dtype),
+            blocked=_dia_blocked(a_emb, pad0, op_dtype, pars.dist_devices),
         )
 
     p_dev = r_dev = None
@@ -724,11 +725,11 @@ def _embedded_level(
         r_emb = _embed_csr_cached(hh.r[l], cl, rl, n0, hist_cache)
         p_dev = Dia.from_csr(
             p_emb, dtype=pr_dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(p_emb, pad0, pr_dtype),
+            blocked=_dia_blocked(p_emb, pad0, pr_dtype, pars.dist_devices),
         )
         r_dev = Dia.from_csr(
             r_emb, dtype=pr_dtype, pad_rows_to=pad0,
-            blocked=_dia_blocked(r_emb, pad0, pr_dtype),
+            blocked=_dia_blocked(r_emb, pad0, pr_dtype, pars.dist_devices),
         )
         if l == E:
             # boundary to the compact world: next level's rows live at
@@ -815,7 +816,8 @@ def sparsify_operator(a: CSR, threshold: float) -> CSR:
     return CSR(indptr, new_cols, data, a.shape)
 
 
-def _dia_blocked(m: CSR, pad: int, dtype) -> bool:
+def _dia_blocked(m: CSR, pad: int, dtype,
+                 dist_devices: int = 0) -> bool:
     """Store a Dia operator in the Pallas kernel's (nd, pad//128, 128)
     layout when that kernel will be the consumer (TPU, single device,
     profitable band/tile — :func:`pallas_dia.will_use`).  Packing in the
@@ -824,7 +826,9 @@ def _dia_blocked(m: CSR, pad: int, dtype) -> bool:
     from .ops import pallas_dia
     from .sparse import Dia as _Dia
 
-    if not (pallas_dia._platform() == "tpu" and jax.device_count() == 1):
+    if pallas_dia._platform() != "tpu":
+        return False
+    if jax.device_count() > 1 and not dist_devices:
         return False
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
@@ -924,7 +928,8 @@ def _pick_format(al: CSR, pars: AMGParams) -> str:
     ):
         return "dense"
     well_on = pars.use_well == "on" or (
-        pars.use_well == "auto" and jax.device_count() == 1
+        pars.use_well == "auto"
+        and (jax.device_count() == 1 or pars.dist_devices > 1)
     )
     if well_on and al.n_rows >= pars.well_min_rows:
         return "well"
@@ -955,7 +960,7 @@ def _level_from_csr(
     if fmt == "dia":
         a_dev = Dia.from_csr(
             al, dtype=op_dtype, pad_rows_to=pad,
-            blocked=_dia_blocked(al, pad, op_dtype),
+            blocked=_dia_blocked(al, pad, op_dtype, pars.dist_devices),
         )
     elif fmt == "banded":
         a_dev = BandedBlocks.from_csr(al, dtype=op_dtype, nb=banded_nb,
@@ -965,7 +970,8 @@ def _level_from_csr(
                                pad_cols_to=pad)
     elif fmt == "well":
         a_dev = WEll.from_csr(al, dtype=op_dtype, pad_rows_to=pad,
-                              pad_cols_to=pad)
+                              pad_cols_to=pad,
+                              ring_devices=pars.dist_devices)
     else:
         ell_cols_np, ell_vals_np = Ell.pack_host(al, pad_rows_to=pad)
         a_dev = Ell(
@@ -980,7 +986,8 @@ def _level_from_csr(
     # pads rows to 1024) applies only when the pad is 1024-aligned.
     if p is not None and fmt == "well" and pad % 1024 == 0:
         p_ell = WEll.from_csr(p, dtype=dtype, pad_rows_to=pad,
-                              pad_cols_to=pad_coarse)
+                              pad_cols_to=pad_coarse,
+                              ring_devices=pars.dist_devices)
     elif p is not None:
         p_ell = Ell.from_csr(p, dtype=dtype, pad_rows_to=pad)
     else:
@@ -988,7 +995,8 @@ def _level_from_csr(
     if r is not None and fmt == "well" and pad_coarse is not None \
             and pad_coarse % 1024 == 0:
         r_ell = WEll.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse,
-                              pad_cols_to=pad)
+                              pad_cols_to=pad,
+                              ring_devices=pars.dist_devices)
     elif r is not None:
         r_ell = Ell.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse)
     else:
@@ -1265,11 +1273,14 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
         else _pick_format(m, pars)
         for l, m in enumerate(hh.a)
     ]
+    # shard_map ring packing (pars.dist_devices = D > 1): every level pad
+    # must split into D equal shards of whole format granules
+    D = max(pars.dist_devices, 1)
     pads = [
         _round_up(
             max(m.n_rows, 1),
-            1024 if fmts[l] == "well"
-            else 128 if fmts[l] in ("dense", "banded") else 8,
+            D * (1024 if fmts[l] == "well"
+                 else 128 if fmts[l] in ("dense", "banded") else 8),
         )
         for l, m in enumerate(hh.a)
     ]
@@ -1278,7 +1289,7 @@ def to_device(hh: HostHierarchy, pars: AMGParams,
     # 128-multiple pad; the extra <=1023 rows are masked like any padding)
     for l in range(1, nl):
         if fmts[l - 1] == "well" and fmts[l] != "dia":
-            pads[l] = _round_up(pads[l], 1024)
+            pads[l] = _round_up(pads[l], D * 1024)
     pad0 = pads[0]
     if E >= 1 and hh.a[0].n_rows >= 65536:
         # tile-align the shared embedded pad so the Pallas DIA window

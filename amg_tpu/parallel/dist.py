@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hierarchy import Hierarchy, Level
 from ..params import AMGParams
-from ..sparse import Ell, Dia, Dense, BandedBlocks
+from ..sparse import Ell, Dia, Dense, BandedBlocks, WEll
 from .multihost import fetch
 
 
@@ -113,6 +113,10 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
                 return Dense(put(m.vals), m.shape, m.nnz)
             if isinstance(m, BandedBlocks):
                 return BandedBlocks(put(m.vals), m.nb, m.shape, m.nnz)
+            if isinstance(m, WEll):
+                return WEll(put(m.vals), put(m.loc), put(m.base),
+                            m.shape, m.nnz, m.pad_cols, put(m.vals_lo),
+                            m.ring_plan)
             return Ell(put(m.cols), put(m.vals), m.shape, m.nnz)
 
         return Level(
@@ -170,6 +174,20 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
             spec = P("x", None, None, None) if nbr % ndev == 0 else P()
             vals = jax.device_put(m.vals, NamedSharding(mesh, spec))
             return BandedBlocks(vals, m.nb, m.shape, m.nnz)
+        if isinstance(m, WEll):
+            # row groups (axis 0) sharded; the shard_map ring product
+            # (parallel/halo.well_spmv_ring_local) is the consumer
+            gspec = NamedSharding(mesh, P("x", None, None, None))
+            bspec = NamedSharding(mesh, P("x", None))
+            return WEll(
+                jax.device_put(m.vals, gspec),
+                jax.device_put(m.loc, gspec),
+                jax.device_put(m.base, bspec),
+                m.shape, m.nnz, m.pad_cols,
+                (jax.device_put(m.vals_lo, gspec)
+                 if m.vals_lo is not None else None),
+                m.ring_plan,
+            )
         e = _pad_rows_multiple(m, ndev)
         return Ell(
             jax.device_put(e.cols, _row_sharding(mesh, 2)),

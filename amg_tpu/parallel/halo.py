@@ -236,38 +236,28 @@ def spmv_dia_ring(d: Dia, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
 # ---------------------------------------------------------------------------
 
 
-def well_shard_plan(w, n_shards: int) -> tuple[int, int]:
-    """Per-mesh halo widths (in 128-entry sublane units) for a row-sharded
-    WEll operator.
+def well_shard_plan(w, n_shards: int,
+                    in_m128: int | None = None) -> tuple[int, int]:
+    """Per-mesh halo widths (sublane units) for a row-sharded WEll
+    operator (device-array convenience wrapper over
+    :meth:`WEll.ring_plan_host`; production packs precompute the plan on
+    the host arrays and store it in ``w.ring_plan``).
 
-    Shard ``s`` owns row groups ``[s*gps, (s+1)*gps)`` and the matching
-    x block; every ACTIVE slot's 1024-wide window must fall inside the
-    shard's haloed x view ``[s*m128 - lo, (s+1)*m128 + hi)``.  After the
-    RCM / barycentric ordering windows hug the diagonal, so lo/hi come
-    out near the matrix's (block) bandwidth — the same locality that
-    makes the single-chip kernel fast makes the halo thin.  Inactive
-    (all-zero) slots are ignored: the packer leaves their base at 0,
-    which would otherwise drag ``lo`` to a full-mesh halo.
+    After the RCM / barycentric ordering windows hug the diagonal, so
+    lo/hi come out near the matrix's (block) bandwidth — the same
+    locality that makes the single-chip kernel fast makes the halo thin.
+    For rectangular operators (P/R) pass ``in_m128`` = input-vector
+    sublanes per shard.
     """
-    base = np.asarray(w.base)            # (ngroups, S)
-    vals = np.asarray(w.vals)
-    ngroups = base.shape[0]
-    if ngroups % n_shards != 0:
-        raise ValueError(f"ngroups {ngroups} not divisible by {n_shards}")
-    gps = ngroups // n_shards
-    m128 = gps * 8
-    active = vals.reshape(ngroups, base.shape[1], -1).any(axis=2)
-    lo = hi = 0
-    for s in range(n_shards):
-        bs = base[s * gps:(s + 1) * gps]
-        act = active[s * gps:(s + 1) * gps]
-        if not act.any():
-            continue
-        bmin = int(bs[act].min())
-        bmax = int(bs[act].max())
-        lo = max(lo, s * m128 - bmin)
-        hi = max(hi, bmax + 8 - (s + 1) * m128)
-    return max(lo, 0), max(hi, 0)
+    from ..sparse import WEll as _WEll
+
+    if w.ring_plan is not None:
+        return w.ring_plan
+    base = np.asarray(w.base)
+    if in_m128 is None:
+        in_m128 = base.shape[0] // n_shards * 8
+    return _WEll.ring_plan_host(base, np.asarray(w.vals), n_shards,
+                                in_m128)
 
 
 def well_spmv_ring_local(w, x_local: jnp.ndarray, axis_name: str,
@@ -304,9 +294,21 @@ def well_spmv_ring_local(w, x_local: jnp.ndarray, axis_name: str,
     base_local = jnp.clip(w.base.astype(jnp.int32) - off, 0,
                           jnp.int32(max(xrows - 8, 0)))
 
+    return _well_apply(w, base_local, xw, xrows, interpret)
+
+
+def _well_apply(w, base_i32: jnp.ndarray, xw: jnp.ndarray, xrows: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Windowed-gather product of a (sliced) WEll operator against an
+    x window of ``xrows`` sublanes, bases already expressed in window
+    coordinates.  Pallas kernel on TPU (or interpret), vmapped XLA
+    fallback elsewhere (a per-slot unroll compiled minutes on CPU)."""
+    from ..ops import pallas_well
+
     ngroups_l = w.vals.shape[0]
     use_kernel = interpret or (
         pallas_well._platform() == "tpu"
+        and jnp.dtype(xw.dtype) == jnp.float32
         and pallas_well.will_use(ngroups_l, w.n_slots, xrows * 128,
                                  w.vals.dtype, xw.dtype)
     )
@@ -314,12 +316,13 @@ def well_spmv_ring_local(w, x_local: jnp.ndarray, axis_name: str,
         fn = pallas_well._build(ngroups_l, w.n_slots, xrows,
                                 str(xw.dtype), str(w.vals.dtype),
                                 interpret=interpret)
-        return fn(base_local.reshape(-1), xw.reshape(xrows, 128),
+        return fn(base_i32.reshape(-1), xw.reshape(xrows, 128),
                   w.loc, w.vals).reshape(ngroups_l * 1024)
-    # XLA fallback (CPU tests without interpret): same windowed-gather
-    # math as the kernel, vmapped over (group, slot) so the program body
-    # stays small (a per-slot unroll compiled minutes on CPU)
     x2d = xw.reshape(xrows, 128)
+    vals = w.vals
+    if w.vals_lo is not None and jnp.dtype(xw.dtype) == jnp.float64:
+        # df64 split-pack applied at full precision off-TPU
+        vals = vals.astype(jnp.float64) + w.vals_lo.astype(jnp.float64)
 
     def slot(b, lc, v):
         tbl = jax.lax.dynamic_slice(x2d, (b, jnp.int32(0)), (8, 128))
@@ -330,8 +333,22 @@ def well_spmv_ring_local(w, x_local: jnp.ndarray, axis_name: str,
             r.astype(jnp.int32), axis=1)
         return v.astype(xw.dtype) * gx
 
-    outs = jax.vmap(jax.vmap(slot))(base_local, w.loc, w.vals).sum(axis=1)
+    outs = jax.vmap(jax.vmap(slot))(base_i32, w.loc, vals).sum(axis=1)
     return outs.astype(xw.dtype).reshape(ngroups_l * 1024)
+
+
+def well_spmv_local_full(w, x_full: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Product of a groups-SLICED WEll operator against the FULL
+    (replicated) input vector — the boundary prolongation of the general
+    sharded cycle: P's rows are sharded but the coarse correction is
+    replicated, so no exchange is needed and the global window bases
+    apply unchanged."""
+    pc = w.pad_cols
+    xp = jnp.pad(x_full, (0, pc - x_full.shape[0])) \
+        if x_full.shape[0] < pc else x_full[:pc]
+    return _well_apply(w, w.base.astype(jnp.int32), xp, pc // 128,
+                       interpret)
 
 
 def spmv_well_ring(w, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
@@ -419,3 +436,59 @@ def spmv_banded_ring(a, x: jnp.ndarray, mesh: Mesh,
         check_vma=False,
     )
     return fn(a.vals, xp)
+
+
+def well_spmv_ring_local_df64(w, x64_local: jnp.ndarray, axis_name: str,
+                              n_shards: int, lo128: int, hi128: int,
+                              interpret: bool = False) -> jnp.ndarray:
+    """f64-quality ring product of a groups-sharded df64 WEll pack.
+
+    The f64 input splits locally into double-single (hi, lo) f32 planes;
+    the ring exchanges the two f32 planes (same ICI bytes as one f64
+    exchange) and the per-shard df64 Pallas kernel does the rest.  The
+    per-shard SMEM base table is ``ngroups/D * S`` entries — the mesh
+    divides the single-chip gate (pallas_well.usable_df64) by D, so 10M+
+    row operators that trip it single-chip clear it sharded.  Off-TPU:
+    full-f64 windowed-gather fallback (exact, for emulated-mesh tests).
+    """
+    from ..ops import pallas_well
+
+    m = x64_local.shape[0]
+    m128 = m // 128
+    lo, hi = lo128 * 128, hi128 * 128
+    xrows = lo128 + m128 + hi128
+    s_idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    off = s_idx * jnp.int32(m128) - jnp.int32(lo128)
+    base_local = jnp.clip(w.base.astype(jnp.int32) - off, 0,
+                          jnp.int32(max(xrows - 8, 0)))
+    ngroups_l = w.vals.shape[0]
+
+    use_kernel = (pallas_well._platform() == "tpu" or interpret) \
+        and w.vals_lo is not None \
+        and ngroups_l * w.n_slots * 4 <= 900 * 1024
+    if use_kernel:
+        xh = x64_local.astype(jnp.float32)
+        xl = (x64_local - xh.astype(jnp.float64)).astype(jnp.float32)
+        offs = ((-lo,) if lo else ()) + ((hi,) if hi else ())
+        if offs:
+            lh, rh = _ring_halos(offs, n_shards, axis_name, xh)
+            ll, rl = _ring_halos(offs, n_shards, axis_name, xl)
+            xh = jnp.concatenate([p for p in (lh, xh, rh)
+                                  if p is not None])
+            xl = jnp.concatenate([p for p in (ll, xl, rl)
+                                  if p is not None])
+        fn = pallas_well._build_df64(ngroups_l, w.n_slots, xrows,
+                                     interpret=interpret)
+        yh, yl = fn(base_local.reshape(-1), xh.reshape(xrows, 128),
+                    xl.reshape(xrows, 128), w.loc, w.vals, w.vals_lo)
+        return (yh.astype(jnp.float64)
+                + yl.astype(jnp.float64)).reshape(ngroups_l * 1024)
+    # off-TPU: exchange the f64 vector directly, apply at full precision
+    offs = ((-lo,) if lo else ()) + ((hi,) if hi else ())
+    if offs:
+        left, right = _ring_halos(offs, n_shards, axis_name, x64_local)
+        xw = jnp.concatenate([p for p in (left, x64_local, right)
+                              if p is not None])
+    else:
+        xw = x64_local
+    return _well_apply(w, base_local, xw, xrows, interpret=False)

@@ -33,9 +33,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..hierarchy import Hierarchy, Level
 from ..params import AMGParams, SmootherType
-from ..sparse import Dia, Ell, Dense, BandedBlocks
+from ..sparse import Dia, Ell, Dense, BandedBlocks, WEll
 from ..ops.blas import norm2
-from .halo import dia_spmv_ring_local
+from .halo import (dia_spmv_ring_local, well_spmv_ring_local,
+                   banded_spmv_ring_local, well_spmv_local_full,
+                   _well_apply)
 
 
 # ---------------------------------------------------------------------------
@@ -60,7 +62,13 @@ def _mat_specs(m, row_sharded: bool, axis: str):
     if isinstance(m, Dense):
         return Dense(P(axis) if row_sharded else P(), m.shape, m.nnz)
     if isinstance(m, BandedBlocks):
-        return BandedBlocks(P(), m.nb, m.shape, m.nnz)
+        spec = P(axis, None, None, None) if row_sharded else P()
+        return BandedBlocks(spec, m.nb, m.shape, m.nnz)
+    if isinstance(m, WEll):
+        g = P(axis, None, None, None) if row_sharded else P()
+        b = P(axis, None) if row_sharded else P()
+        return WEll(g, g, b, m.shape, m.nnz, m.pad_cols,
+                    None if m.vals_lo is None else g, m.ring_plan)
     raise TypeError(type(m))
 
 
@@ -113,8 +121,24 @@ def num_embedded(mg: Hierarchy) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _ring_spmv(a: Dia, x_local, axis: str, n_shards: int):
-    return dia_spmv_ring_local(a.offsets, n_shards, axis, a.vals, x_local)
+def _ring_spmv(a, x_local, axis: str, n_shards: int):
+    """Per-shard ring halo-exchange product, dispatched on format — the
+    multi-chip counterparts of every single-chip fast format (VERDICT r4
+    item 4: the fast formats must not switch off on a pod)."""
+    if isinstance(a, Dia):
+        return dia_spmv_ring_local(a.offsets, n_shards, axis, a.vals,
+                                   x_local)
+    if isinstance(a, WEll):
+        if a.ring_plan is None:
+            raise ValueError("WEll operator packed without a ring plan "
+                             "(set pars.dist_devices at setup)")
+        lo128, hi128 = a.ring_plan
+        return well_spmv_ring_local(a, x_local, axis, n_shards,
+                                    lo128, hi128)
+    if isinstance(a, BandedBlocks):
+        return banded_spmv_ring_local(a.nb, n_shards, axis, a.vals,
+                                      x_local)
+    raise TypeError(f"no ring product for {type(a).__name__}")
 
 
 def _chebyshev_local(level, x, b, degree, axis, n_shards):
@@ -310,6 +334,117 @@ def cycle_spmd(mg, x, b, pars, E, axis, n_shards, m_local):
 
 
 # ---------------------------------------------------------------------------
+# General sharded cycle (round 5): row-sharded WEll / BandedBlocks / Dia
+# levels with real P/R transfer operators — the multi-chip path for
+# UNSTRUCTURED hierarchies (no fine-grid embedding).  Levels 0..Es are
+# sharded; the boundary all_gathers the (small) first compact vector and
+# the tail runs replicated exactly like the embedded mode.
+# ---------------------------------------------------------------------------
+
+
+def _transfer_sharded(t, pad_out: int, ndev: int) -> bool:
+    """Static test: is this (local view of a) transfer operator sharded
+    over its output rows?  Inside shard_map local shapes are static, so
+    comparing the local row count against the level pad decides."""
+    if not isinstance(t, WEll):
+        return False
+    return t.padded_rows * ndev == pad_out
+
+
+def _cycle_general(mg, l, x, b, pars, ctol, Es, axis, ndev):
+    """V/W-cycle on the general sharded prefix (inside shard_map)."""
+    from ..solve.cycle import _cycle_level
+    from ..ops.spmv import spmv as _spmv
+
+    nl = mg.num_levels
+    level = mg.levels[l]
+    repeats = 1 if l == 0 else max(pars.cycle_type, 1)
+    pars_l = pars if (l == 0 or pars.coarse_smoother is None) \
+        else pars.replace(smoother=pars.coarse_smoother)
+
+    for _ in range(repeats):
+        x = _smooth_local(level, x, b, pars_l, pars.pre_iter, True,
+                          axis, ndev)
+        r = b - _ring_spmv(level.a, x, axis, ndev)
+        if l == Es:
+            # boundary: coarse vector becomes replicated.  Fast path:
+            # ring-apply the groups-sharded R, then one all_gather of
+            # the SMALL coarse vector.  Fallback (non-WEll transfers):
+            # all_gather the fine residual, apply the replicated R.
+            nn = mg.levels[l + 1].n
+            pad_c = mg.levels[l + 1].pad
+            if _transfer_sharded(level.r, pad_c, ndev):
+                bc_loc = _ring_spmv(level.r, r, axis, ndev)
+                bc = jax.lax.all_gather(bc_loc, axis, tiled=True)
+            else:
+                r_full = jax.lax.all_gather(r, axis, tiled=True)
+                bc = _spmv(level.r, r_full)
+            bc = bc[:pad_c]
+            bc = jnp.where(jnp.arange(bc.shape[0]) < nn, bc,
+                           jnp.zeros((), bc.dtype))
+            xc = jnp.zeros_like(bc)
+            xc = _cycle_level(mg, l + 1, xc, bc, pars, ctol)
+            m_l = x.shape[0]
+            if _transfer_sharded(level.p, m_l * ndev, ndev):
+                x = x + well_spmv_local_full(level.p, xc).astype(x.dtype)
+            else:
+                xe = _spmv(level.p, xc)
+                start = (jax.lax.axis_index(axis).astype(jnp.int32)
+                         * jnp.int32(m_l))
+                x = x + jax.lax.dynamic_slice(
+                    xe, (start,), (m_l,)).astype(x.dtype)
+        else:
+            bc = _ring_spmv(level.r, r, axis, ndev)
+            xc = jnp.zeros_like(bc)
+            xc = _cycle_general(mg, l + 1, xc, bc, pars, ctol, Es, axis,
+                                ndev)
+            x = x + _ring_spmv(level.p, xc, axis, ndev)
+        x = _smooth_local(level, x, b, pars_l, pars.post_iter, False,
+                          axis, ndev)
+    return x
+
+
+def cycle_general(mg, x, b, pars, Es, axis, ndev):
+    ctol = min(pars.ctol, pars.tol * 0.1) if pars.ctol > pars.tol \
+        else pars.ctol
+    return _cycle_general(mg, 0, x, b, pars, ctol, Es, axis, ndev)
+
+
+def _ring_capable(m, ndev: int) -> bool:
+    """Can this operator be row-sharded for the ring product?"""
+    if isinstance(m, Dia):
+        rows = (m.vals.shape[1] * 128 if m.vals.ndim == 3
+                else m.vals.shape[1])
+        return rows % ndev == 0
+    if isinstance(m, WEll):
+        return m.ring_plan is not None
+    if isinstance(m, BandedBlocks):
+        return m.vals.shape[0] % ndev == 0
+    return False
+
+
+def general_shard_depth(mg, ndev: int) -> int:
+    """Longest sharded prefix 0..Es for the general cycle, or -1 when
+    even level 0 cannot shard.  Interior levels need ring-capable
+    A/P/R; the boundary level needs a ring-capable A (its transfers may
+    fall back to the all_gather boundary)."""
+    nl = mg.num_levels
+    if nl < 2 or not _ring_capable(mg.levels[0].a, ndev):
+        return -1
+    Es = 0
+    while Es < nl - 2:
+        lvl = mg.levels[Es]
+        if (isinstance(lvl.p, WEll) and lvl.p.ring_plan is not None
+                and isinstance(lvl.r, WEll)
+                and lvl.r.ring_plan is not None
+                and _ring_capable(mg.levels[Es + 1].a, ndev)):
+            Es += 1
+        else:
+            break
+    return Es
+
+
+# ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
 
@@ -340,14 +475,34 @@ class SpmdAMGSolver:
             # resolve auto embedding to "on" on every backend (the CPU
             # auto default is 0, which would make setup un-shardable)
             pars = pars.replace(embed_levels=8)
+        if pars.dist_devices != self.ndev:
+            # ring-aware packing: D-divisible pads, WEll/BandedBlocks kept
+            # on under "auto", WEll ring halo plans precomputed
+            pars = pars.replace(dist_devices=self.ndev)
         self.pars = pars
         mg, hh = setup(a, pars, log=log)
         self.host_hierarchy = hh
+        # level-0 permutation (RCM for WEll level 0): b/x0 map in on
+        # entry, x maps back on exit (same surface as AMGSolver)
+        hp = getattr(hh, "perms", None)
+        self._perm0 = hp[0] if hp is not None else None
+        self._iperm0 = None
+        if self._perm0 is not None:
+            self._iperm0 = np.empty_like(self._perm0)
+            self._iperm0[self._perm0] = np.arange(len(self._perm0))
         self.E = num_embedded(mg)
+        self.Es = -1
         if self.E == 0:
-            raise ValueError(
-                "SpmdAMGSolver requires a fine-grid-embedded hierarchy "
-                "(banded level-0 operator); use DistAMGSolver instead")
+            # no fine-grid embedding (unstructured / general matrix):
+            # try the general sharded cycle over ring-capable levels
+            self.Es = general_shard_depth(mg, self.ndev)
+            if self.Es < 0:
+                raise ValueError(
+                    "SpmdAMGSolver requires either a fine-grid-embedded "
+                    "hierarchy or a ring-capable (WEll/Dia/BandedBlocks) "
+                    "level 0; use DistAMGSolver instead")
+            self._init_general(mg, pars)
+            return
         self.pad = mg.levels[0].pad
         if self.pad % self.ndev != 0:
             raise ValueError(
@@ -458,6 +613,146 @@ class SpmdAMGSolver:
                 check_vma=False,
             ))
 
+    def _init_general(self, mg, pars):
+        """Wire the general sharded cycle (no embedding): levels 0..Es
+        row-sharded WEll/Dia/BandedBlocks with real P/R ring transfers,
+        all_gather boundary, replicated tail.  Exposes the same _step_fn
+        / _accel_*_fn surface as the embedded mode, so solve()/solve_pcg()
+        run unchanged."""
+        import dataclasses
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding
+        from .dist import shard_hierarchy, shard_vector, _replicated
+
+        Es, axis, ndev = self.Es, self.axis, self.ndev
+        self.pad = mg.levels[0].pad
+        if self.pad % ndev:
+            raise ValueError(
+                f"padded rows {self.pad} not divisible by mesh {ndev}")
+        self.m_local = self.pad // ndev
+        self.dtype = jnp.dtype(self.pars.dtype)
+        pars = self.pars
+
+        boundary_ring = (isinstance(mg.levels[Es].r, WEll)
+                         and mg.levels[Es].r.ring_plan is not None
+                         and isinstance(mg.levels[Es].p, WEll))
+        self.mg = shard_hierarchy(mg, self.mesh, pars,
+                                  replicate_from_level=Es + 1)
+        specs_levels = [
+            _level_specs(lvl, l <= Es, axis)
+            for l, lvl in enumerate(self.mg.levels)
+        ]
+        if not boundary_ring:
+            # fallback boundary: the transfers stay replicated (the
+            # fine residual is all_gathered instead)
+            blvl = mg.levels[Es]
+            put = lambda m: jax.tree_util.tree_map(
+                lambda v: jax.device_put(v, _replicated(self.mesh)), m)
+            self.mg = Hierarchy(
+                levels=tuple(
+                    dataclasses.replace(l_, p=put(blvl.p), r=put(blvl.r))
+                    if i == Es else l_
+                    for i, l_ in enumerate(self.mg.levels)),
+                coarse_inv=self.mg.coarse_inv)
+            specs_levels[Es] = dataclasses.replace(
+                specs_levels[Es],
+                p=_mat_specs(blvl.p, False, axis),
+                r=_mat_specs(blvl.r, False, axis))
+        specs = Hierarchy(levels=tuple(specs_levels), coarse_inv=P())
+
+        def _step_local(mg_l, x_l, b_l):
+            x_l = cycle_general(mg_l, x_l, b_l, pars, Es, axis, ndev)
+            r_l = b_l - _ring_spmv(mg_l.levels[0].a, x_l, axis, ndev)
+            return x_l, norm2(r_l, axis)
+
+        self._step_fn = jax.jit(shard_map(
+            _step_local, mesh=self.mesh,
+            in_specs=(specs, P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        ))
+        self._shard_vector = lambda v: shard_vector(v, self.mesh)
+
+        # -- FCG wrap: f64 outer against a df64 ring WEll operator ------
+        self.a0_hi = None
+        if pars.accel == "cg":
+            from ..solve.krylov import fcg_init, fcg_step
+
+            hi = pars.refine and self.dtype != jnp.float64
+            self._accel_dtype = jnp.float64 if hi else self.dtype
+            if hi:
+                a0 = self.host_hierarchy.a[0]
+                w_hi = WEll.from_csr_df64(a0, pad_rows_to=self.pad,
+                                          pad_cols_to=self.pad,
+                                          ring_devices=ndev)
+                if w_hi.ring_plan is None:
+                    hi = False
+                    self._accel_dtype = self.dtype
+                else:
+                    gput = NamedSharding(self.mesh,
+                                         P(axis, None, None, None))
+                    self.a0_hi = WEll(
+                        jax.device_put(w_hi.vals, gput),
+                        jax.device_put(w_hi.loc, gput),
+                        jax.device_put(
+                            w_hi.base,
+                            NamedSharding(self.mesh, P(axis, None))),
+                        w_hi.shape, w_hi.nnz, w_hi.pad_cols,
+                        jax.device_put(w_hi.vals_lo, gput),
+                        w_hi.ring_plan)
+            adt = self._accel_dtype
+
+            def _amul_local(mg_l, hi_w, v_l):
+                if hi:
+                    lo128, hi128 = hi_w.ring_plan
+                    from .halo import well_spmv_ring_local_df64
+
+                    return well_spmv_ring_local_df64(
+                        hi_w, v_l, axis, ndev, lo128, hi128)
+                return _ring_spmv(mg_l.levels[0].a, v_l, axis, ndev)
+
+            def _prec_local(mg_l, r_l):
+                rn = norm2(r_l, axis)
+                scale = jnp.where(rn > 0, rn, 1.0)
+                r_lo = (r_l / scale).astype(self.dtype)
+                e = cycle_general(mg_l, jnp.zeros_like(r_lo), r_lo, pars,
+                                  Es, axis, ndev)
+                return e.astype(adt) * scale
+
+            def _accel_init_local(mg_l, hi_w, x_l, b_l):
+                st = fcg_init(lambda v: _amul_local(mg_l, hi_w, v),
+                              lambda r: _prec_local(mg_l, r),
+                              b_l, x_l, axis_name=axis)
+                return st, norm2(st[1], axis)
+
+            def _accel_step_local(mg_l, hi_w, st):
+                return fcg_step(lambda v: _amul_local(mg_l, hi_w, v),
+                                lambda r: _prec_local(mg_l, r),
+                                st, axis_name=axis)
+
+            if hi:
+                self._hi_vals = self.a0_hi
+                hi_spec = _mat_specs(self.a0_hi, True, axis)
+            else:
+                self._hi_vals = jax.device_put(
+                    jnp.zeros((1, self.pad), self.dtype),
+                    NamedSharding(self.mesh, P(None, axis)))
+                hi_spec = P(None, axis)
+            st_specs = ((P(axis),) * 4 + (P(),))
+            self._accel_init_fn = jax.jit(shard_map(
+                _accel_init_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, P(axis), P(axis)),
+                out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+            self._accel_step_fn = jax.jit(shard_map(
+                _accel_step_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, st_specs),
+                out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+
     def solve_pcg(self, b, x0=None):
         """Distributed AMG-preconditioned flexible CG: psum dots, the
         sharded V-cycle as preconditioner, f64 outer iteration against
@@ -473,10 +768,12 @@ class SpmdAMGSolver:
         n = self.a.n_rows
         adt = np.dtype(self._accel_dtype)
         bd = np.zeros(self.pad, dtype=adt)
-        bd[:n] = np.asarray(b, dtype=adt)[:n]
+        bv = np.asarray(b, dtype=adt)[:n]
+        bd[:n] = bv[self._perm0] if self._perm0 is not None else bv
         xd = np.zeros(self.pad, dtype=adt)
         if x0 is not None:
-            xd[:n] = np.asarray(x0, dtype=adt)[:n]
+            xv = np.asarray(x0, dtype=adt)[:n]
+            xd[:n] = xv[self._perm0] if self._perm0 is not None else xv
         bd = self._shard_vector(bd)
         xd = self._shard_vector(xd)
 
@@ -520,7 +817,10 @@ class SpmdAMGSolver:
                 break
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
-        return fetch(xd)[:n], info
+        xh = fetch(xd)[:n]
+        if self._iperm0 is not None:
+            xh = xh[self._iperm0]
+        return xh, info
 
     def solve(self, b, x0=None):
         """Host loop over the jitted shard_map step (same stopping rules
@@ -536,10 +836,12 @@ class SpmdAMGSolver:
             return self.solve_pcg(b, x0)
         n = self.a.n_rows
         bd = np.zeros(self.pad, dtype=self.dtype)
-        bd[:n] = np.asarray(b, dtype=self.dtype)[:n]
+        bv = np.asarray(b, dtype=self.dtype)[:n]
+        bd[:n] = bv[self._perm0] if self._perm0 is not None else bv
         xd = np.zeros(self.pad, dtype=self.dtype)
         if x0 is not None:
-            xd[:n] = np.asarray(x0, dtype=self.dtype)[:n]
+            xv = np.asarray(x0, dtype=self.dtype)[:n]
+            xd[:n] = xv[self._perm0] if self._perm0 is not None else xv
         bd = self._shard_vector(bd)
         xd = self._shard_vector(xd)
 
@@ -585,4 +887,7 @@ class SpmdAMGSolver:
         info.setup_seconds = self.host_hierarchy.setup_seconds
         from .multihost import fetch
 
-        return fetch(xd)[:n], info
+        xh = fetch(xd)[:n]
+        if self._iperm0 is not None:
+            xh = xh[self._iperm0]
+        return xh, info

@@ -241,6 +241,12 @@ class AMGParams:
     # levels >= well_min_rows; "on"/"off" force.
     use_well: str = "auto"
     well_min_rows: int = 65536
+    # Pack the hierarchy for a D-device shard_map ring solve: level pads
+    # round up to D-divisible format granules, WEll/BandedBlocks stay
+    # enabled under "auto" despite jax.device_count() > 1 (their ring
+    # variants in parallel/halo.py are the consumers), and WEll packs
+    # precompute ring halo plans.  0 = single-device layout (default).
+    dist_devices: int = 0
     # Non-Galerkin coarse-operator sparsification (Falgout/Schroder-style):
     # on levels >= sparsify_from_level drop entries with
     # |a_ij| < threshold * sqrt(|a_ii a_jj|) and lump the dropped mass

@@ -682,16 +682,48 @@ class WEll:
     # df64 kernel then delivers an f64-quality matvec from pure-f32 VPU
     # arithmetic (TPU has no hardware f64)
     vals_lo: Optional[jnp.ndarray] = None
+    # ring-halo widths (lo128, hi128) in sublane units for a
+    # groups-sharded multi-chip apply (parallel/halo.well_spmv_ring_local)
+    # — static metadata computed at pack time by ring_plan_host
+    ring_plan: Optional[Tuple[int, int]] = None
 
     def tree_flatten(self):
         return (self.vals, self.loc, self.base, self.vals_lo), (
-            self.shape, self.nnz, self.pad_cols)
+            self.shape, self.nnz, self.pad_cols, self.ring_plan)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         vals, loc, base, vals_lo = children
-        shape, nnz, pad_cols = aux
-        return cls(vals, loc, base, shape, nnz, pad_cols, vals_lo)
+        shape, nnz, pad_cols, ring_plan = aux
+        return cls(vals, loc, base, shape, nnz, pad_cols, vals_lo,
+                   ring_plan)
+
+    @staticmethod
+    def ring_plan_host(base: np.ndarray, vals: np.ndarray, n_shards: int,
+                       in_m128: int) -> Tuple[int, int]:
+        """Halo widths (lo128, hi128, sublane units) for a groups-sharded
+        apply: shard ``s`` owns row groups ``[s*gps, (s+1)*gps)`` and the
+        input-vector block of ``in_m128`` sublanes; every ACTIVE slot's
+        window must fall inside ``[s*in_m128 - lo, (s+1)*in_m128 + hi)``.
+        Inactive (all-zero) slots are ignored — the packer leaves their
+        base at 0, which would otherwise drag ``lo`` to a full-mesh halo.
+        Works for rectangular operators (P/R): groups partition the
+        OUTPUT rows, ``in_m128`` describes the INPUT blocks."""
+        ngroups = base.shape[0]
+        if ngroups % n_shards != 0:
+            raise ValueError(
+                f"ngroups {ngroups} not divisible by {n_shards}")
+        gps = ngroups // n_shards
+        active = vals.reshape(ngroups, base.shape[1], -1).any(axis=2)
+        lo = hi = 0
+        for s in range(n_shards):
+            act = active[s * gps:(s + 1) * gps]
+            if not act.any():
+                continue
+            bs = base[s * gps:(s + 1) * gps][act]
+            lo = max(lo, s * in_m128 - int(bs.min()))
+            hi = max(hi, int(bs.max()) + 8 - (s + 1) * in_m128)
+        return max(lo, 0), max(hi, 0)
 
     @property
     def n_rows(self) -> int:
@@ -801,8 +833,20 @@ class WEll:
         return vals, loc, base
 
     @staticmethod
+    def _plan(base, vals, pc, ring_devices):
+        """ring_plan for a pack headed to a D-device shard_map ring (or
+        None when the shapes don't divide the mesh)."""
+        if not ring_devices or ring_devices < 2:
+            return None
+        if base.shape[0] % ring_devices or pc % (128 * ring_devices):
+            return None
+        return WEll.ring_plan_host(base, vals, ring_devices,
+                                   pc // 128 // ring_devices)
+
+    @staticmethod
     def from_csr(a: CSR, dtype=jnp.float32, pad_rows_to: int | None = None,
-                 pad_cols_to: int | None = None) -> "WEll":
+                 pad_cols_to: int | None = None,
+                 ring_devices: int | None = None) -> "WEll":
         vals, loc, base = WEll.pack_host(
             a, dtype=np.dtype(dtype), pad_rows_to=pad_rows_to,
             pad_cols_to=pad_cols_to)
@@ -816,11 +860,13 @@ class WEll:
             a.shape,
             a.nnz,
             pc,
+            ring_plan=WEll._plan(base, vals, pc, ring_devices),
         )
 
     @staticmethod
     def from_csr_df64(a: CSR, pad_rows_to: int | None = None,
-                      pad_cols_to: int | None = None) -> "WEll":
+                      pad_cols_to: int | None = None,
+                      ring_devices: int | None = None) -> "WEll":
         """Pack with the operator split into non-overlapping f32 planes
         (vals = f32(v), vals_lo = f32(v - vals)): the df64 Pallas kernel
         applies this at f64 quality without hardware f64."""
@@ -833,7 +879,8 @@ class WEll:
         if pad_cols_to is not None:
             pc = max(pc, _round_up(pad_cols_to, 1024))
         return WEll(jnp.asarray(hi), jnp.asarray(loc), jnp.asarray(base),
-                    a.shape, a.nnz, pc, vals_lo=jnp.asarray(lo))
+                    a.shape, a.nnz, pc, vals_lo=jnp.asarray(lo),
+                    ring_plan=WEll._plan(base, vals64, pc, ring_devices))
 
     def to_csr(self) -> CSR:
         vals = np.asarray(self.vals, dtype=np.float64)

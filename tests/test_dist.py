@@ -365,3 +365,33 @@ def test_banded_ring_spmv_matches_global():
     got = np.asarray(spmv_banded_ring(b, x, make_mesh(8)))
     scale = max(np.abs(want).max(), 1e-30)
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+
+
+def test_spmd_general_unstructured_solve():
+    """The general sharded cycle solves an UNSTRUCTURED problem with
+    row-sharded WEll levels and real ring P/R transfers on the emulated
+    mesh, matching the single-chip solver with the same (ring-aware)
+    packing (VERDICT r4 item 4: distributed unstructured must not
+    degrade to gather-ELL/replication)."""
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.parallel.spmd_cycle import SpmdAMGSolver
+    from amg_tpu.sparse import WEll
+
+    a = fem2d(20000, seed=11)
+    b = np.random.default_rng(13).standard_normal(a.n_rows)
+    pars = AMGParams(verbose=0, tol=1e-8, accel="cg", refine=True,
+                     well_min_rows=1024, dist_devices=4,
+                     coarse_smoother=SmootherType.CHEBYSHEV)
+    ref = amg.AMGSolver(a, pars, log=lambda *x: None)
+    x1, i1 = ref.solve(b)
+
+    s = SpmdAMGSolver(a, pars, mesh=make_mesh(4), log=lambda *x: None)
+    assert s.E == 0 and s.Es >= 1          # general mode, >=2 sharded levels
+    assert isinstance(s.mg.levels[0].a, WEll)
+    assert s.mg.levels[0].a.ring_plan is not None
+    x2, i2 = s.solve(b)
+    assert i2.rres < 1e-8
+    r = b - a.matvec(np.asarray(x2, dtype=np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+    assert abs(i1.nits - i2.nits) <= 2
+    np.testing.assert_allclose(x2, x1, rtol=1e-5, atol=1e-7)

@@ -351,9 +351,15 @@ def test_well_df64_spmv(rng):
 
     a = fem2d(3000, seed=4)
     w = WEll.from_csr_df64(a)
-    # split reproduces the f64 operator
+    # split reproduces the f64 operator to double-single precision:
+    # 24+24 = 48 mantissa bits, so ~2^-48 RELATIVE error is the exact
+    # representation floor (the old absolute-1e-15 bound was a dead
+    # assertion — an operator precedence bug kept it from running; once
+    # fixed it failed, correctly, on the 1e3-conductivity entries)
     back = w.to_csr().to_scipy() - a.to_scipy()
-    assert (np.abs(back.data).max() if back.nnz else 0.0) < 1e-15
+    scale = np.abs(a.data).max()
+    rel = (np.abs(back.data).max() / scale) if back.nnz else 0.0
+    assert rel < 1e-13, rel
 
     x = rng.standard_normal(a.n_cols)
     want = a.to_scipy() @ x
