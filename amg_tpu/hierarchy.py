@@ -73,17 +73,24 @@ class Level:
     # compacts the residual FIRST (one small gather) and applies compact
     # Ell P/R on short vectors, so only A needs the big embedded array.
     member_idx: Optional[jnp.ndarray] = None
+    # (n_groups, pad) group-masked inverse diagonal: gs_w[g] = inv_diag
+    # where gid == g (and inv_diag != 0), else 0 — the fused masked-GS
+    # kernel's weight operand (pallas_dia.gs_update: one operator pass
+    # per color instead of SpMV + select)
+    gs_w: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         leaves = (self.a, self.p, self.r, self.diag, self.inv_diag,
                   self.l1_inv, self.diag_mask, self.groups, self.gid,
-                  self.rho_dinv_a, self.compact_idx, self.member_idx)
+                  self.rho_dinv_a, self.compact_idx, self.member_idx,
+                  self.gs_w)
         return leaves, (self.group_cf, self.ranges)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves[:-2], group_cf=aux[0], ranges=aux[1],
-                   compact_idx=leaves[-2], member_idx=leaves[-1])
+        return cls(*leaves[:-3], group_cf=aux[0], ranges=aux[1],
+                   compact_idx=leaves[-3], member_idx=leaves[-2],
+                   gs_w=leaves[-1])
 
     @property
     def n(self) -> int:
@@ -752,11 +759,14 @@ def _embedded_level(
     l1_inv[rl[nz1]] = 1.0 / l1_c[nz1]
 
     cfmark = hh.cfmark[l] if l < len(hh.cfmark) else None
+    gs_w = None
     if _needs_groups(pars, l >= 1):
         groups, group_cf, gid_c = build_groups(al, cfmark, pad_to=pad0)
         gid = np.full(pad0, -1, dtype=np.int32)
         gid[rl] = gid_c[:n]
         gid_dev = jnp.asarray(gid)
+        gs_w = _gs_w_stack(gid, inv_diag.astype(np.dtype(dtype)),
+                           len(group_cf), dtype)
     else:
         group_cf = ()
         gid_dev = None
@@ -782,7 +792,20 @@ def _embedded_level(
         ranges=None,
         compact_idx=compact_idx,
         member_idx=member_idx,
+        gs_w=gs_w,
     )
+
+
+def _gs_w_stack(gid_np, inv_diag_np, n_groups, dtype):
+    """Stacked fused-GS weights: w[g] = inv_diag where gid==g else 0.
+    Only built for small color counts (memory is n_groups * pad)."""
+    if n_groups == 0 or n_groups > 8:
+        return None
+    w = np.zeros((n_groups, len(gid_np)), dtype=np.dtype(dtype))
+    for g in range(n_groups):
+        m = (gid_np == g) & (inv_diag_np != 0)
+        w[g, m] = inv_diag_np[m]
+    return jnp.asarray(w)
 
 
 def sparsify_operator(a: CSR, threshold: float) -> CSR:
@@ -1015,6 +1038,7 @@ def _level_from_csr(
     groups_dev = None
     gid_dev = None
     ranges = None
+    gs_w = None
     if fmt == "ell":
         # mark diagonal slots in the ELL layout (host-side numpy)
         row_ids = np.arange(a_dev.padded_rows)[:, None]
@@ -1035,6 +1059,10 @@ def _level_from_csr(
         # gather-free masked GS path (full-operator product + class mask)
         groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
         gid_dev = jnp.asarray(np.asarray(gid, dtype=np.int32))
+        if fmt == "dia":
+            gs_w = _gs_w_stack(np.asarray(gid, dtype=np.int32),
+                               inv_diag.astype(np.dtype(dtype)),
+                               len(group_cf), dtype)
     else:
         # gather-based group path (unpermuted ELL levels, e.g. level 0)
         groups, group_cf, gid = build_groups(al, cfmark, pad_to=pad)
@@ -1064,6 +1092,7 @@ def _level_from_csr(
         rho_dinv_a=jnp.asarray(rho, dtype=dtype),
         group_cf=tuple(int(t) for t in group_cf),
         ranges=ranges,
+        gs_w=gs_w,
     )
 
 

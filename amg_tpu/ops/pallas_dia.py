@@ -116,7 +116,12 @@ _BF16_MUL = os.environ.get("AMG_DIA_BF16_MUL", "1") == "1"
 
 @functools.lru_cache(maxsize=None)
 def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
-           interpret=False, bf16_mul=None, tile=TILE):
+           interpret=False, bf16_mul=None, tile=TILE, epilogue="spmv"):
+    """epilogue: "spmv" -> y = A x; "resid" -> y = b - A x;
+    "update" -> y = x + w * (b - A x)  (the masked-GS / Jacobi / L1
+    update with w = group-masked inverse diagonal, fused so the smoother
+    costs one operator pass instead of SpMV + a separate 24 B/row
+    elementwise pass)."""
     dtype = jnp.dtype(dtype_name)
     vals_dtype = jnp.dtype(vals_dtype_name)
     nd = len(offsets)
@@ -150,8 +155,20 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
     for k, off in enumerate(offsets):
         q, r = divmod(lo + off, 128)
         by_r.setdefault(r, []).append((k, q))
+    k0 = offsets.index(0) if (epilogue == "update" and 0 in offsets) \
+        else None
+    if epilogue == "update" and k0 is None:
+        raise ValueError("update epilogue requires the main diagonal")
 
-    def kernel(xp_hbm, vals_ref, out_ref, xw, sem):
+    def kernel(xp_hbm, vals_ref, *rest):
+        if epilogue == "spmv":
+            out_ref, xw, sem = rest
+            b_ref = w_ref = None
+        elif epilogue == "resid":
+            b_ref, out_ref, xw, sem = rest
+            w_ref = None
+        else:
+            b_ref, w_ref, out_ref, xw, sem = rest
         # x window is double-buffered ACROSS grid steps: step i waits on the
         # copy started at step i-1 and prefetches step i+1's window, so the
         # window DMA overlaps the previous step's compute (the synchronous
@@ -181,6 +198,7 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
         ).wait()
         xwr = xw.at[slot]
         acc = jnp.zeros((_T128, 128), dtype)
+        xc = None  # center x rows (offset-0 read), kept for "update"
         for r, items in by_r.items():
             if r and len(items) == 1:
                 # single diagonal at this remainder (typical for narrow
@@ -190,6 +208,8 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
                 xs = jnp.concatenate(
                     [xwr[q:q + _T128, r:], xwr[q + 1:q + _T128 + 1, :r]],
                     axis=1)
+                if k == k0:
+                    xc = xs
                 if bf16_mul:
                     xs = xs.astype(jnp.bfloat16)
                     acc = acc + (vals_ref[k] * xs).astype(dtype)
@@ -203,6 +223,9 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
                 xs = jnp.concatenate([xwr[:-1, r:], xwr[1:, :r]], axis=1)
             else:
                 xs = xwr[...]
+            for k, q in items:
+                if k == k0:
+                    xc = xs[q:q + _T128]
             if bf16_mul:
                 xs = xs.astype(jnp.bfloat16)
             for k, q in items:
@@ -213,8 +236,17 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
                 if vals_dtype != dtype:
                     v = v.astype(dtype)
                 acc = acc + v * xs[q:q + _T128]
-        out_ref[:] = acc
+        if epilogue == "spmv":
+            out_ref[:] = acc
+        elif epilogue == "resid":
+            out_ref[:] = b_ref[...] - acc
+        else:
+            out_ref[:] = xc + w_ref[...] * (b_ref[...] - acc)
 
+    extra = [] if epilogue == "spmv" else [
+        pl.BlockSpec((_T128, 128), lambda i: (i, i32(0)),
+                     memory_space=pltpu.VMEM)           # b tile
+    ] * (1 if epilogue == "resid" else 2)               # (+ w tile)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((pad // 128, 128), dtype),
@@ -224,7 +256,7 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
             pl.BlockSpec((nd, _T128, 128),
                          lambda i: (i32(0), i, i32(0)),
                          memory_space=pltpu.VMEM),      # vals tile
-        ],
+        ] + extra,
         out_specs=pl.BlockSpec((_T128, 128), lambda i: (i, i32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -462,3 +494,58 @@ def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     fn = _build(tuple(a.offsets), pad, lo, hi, str(xw.dtype),
                 str(a.vals.dtype), interpret=interpret, tile=tile)
     return fn(xp, vals3).reshape(pad)
+
+
+def _prep(a, xw):
+    pad = a.padded_rows
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    tile = _pick_tile(len(a.offsets), lo, hi,
+                      jnp.dtype(a.vals.dtype).itemsize,
+                      jnp.dtype(xw.dtype).itemsize, pad) or TILE
+    wrows = _window_rows(lo, hi, tile)
+    xp_len = (pad // tile - 1) * tile + wrows * 128
+    xp = jnp.pad(xw, (0, xp_len - xw.shape[0])).reshape(-1, 128)
+    vals3 = a.vals if a.vals.ndim == 3 \
+        else a.vals.reshape(len(a.offsets), pad // 128, 128)
+    return xp, vals3, tile, lo, hi, pad
+
+
+def resid(a, x: jnp.ndarray, b: jnp.ndarray,
+          interpret: bool = False) -> jnp.ndarray:
+    """r = b - A x in ONE kernel pass: the subtraction happens in VMEM on
+    the accumulator, saving the separate XLA elementwise pass (which
+    cannot fuse into a pallas_call) — ~12 B/row of HBM traffic per
+    residual on the hot fine level."""
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    xp, vals3, tile, lo, hi, pad = _prep(a, jnp.pad(x, (lo, hi)))
+    b2 = jnp.pad(b, (0, pad - b.shape[0])).reshape(pad // 128, 128) \
+        if b.shape[0] < pad else b[:pad].reshape(pad // 128, 128)
+    fn = _build(tuple(a.offsets), pad, lo, hi, str(x.dtype),
+                str(a.vals.dtype), interpret=interpret, tile=tile,
+                epilogue="resid")
+    return fn(xp, vals3, b2).reshape(pad)
+
+
+def gs_update(a, x: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """x_new = x + w * (b - A x) in ONE kernel pass — the masked-GS
+    group update (w = group-masked inverse diagonal), weighted-Jacobi
+    (w = relax * inv_diag) and L1-Jacobi (w = l1_inv) all in fused form.
+    vs the unfused path (full SpMV + XLA select) this reads b and w but
+    skips materializing Ax and re-reading x/gid/inv_diag: ~40% less HBM
+    traffic per sweep on a 7-point level."""
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    xp, vals3, tile, lo, hi, pad = _prep(a, jnp.pad(x, (lo, hi)))
+
+    def as2d(v):
+        v = jnp.pad(v, (0, pad - v.shape[0])) if v.shape[0] < pad \
+            else v[:pad]
+        return v.reshape(pad // 128, 128)
+
+    fn = _build(tuple(a.offsets), pad, lo, hi, str(x.dtype),
+                str(a.vals.dtype), interpret=interpret, tile=tile,
+                epilogue="update")
+    return fn(xp, vals3, as2d(b), as2d(w)).reshape(pad)

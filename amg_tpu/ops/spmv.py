@@ -177,3 +177,16 @@ def residual(a: Ell, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """r = b - A @ x (reference ``SSS_blas_mv_amxpy`` with alpha=-1 as used
     by the outer loop, amg/Solve/SSS_SOLVE.c:59-60)."""
     return b - spmv(a, x)[: b.shape[0]]
+
+
+def residual_fused(a, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """r = b - A @ x, with the subtraction fused INTO the Pallas DIA
+    kernel when it applies (XLA cannot fuse an elementwise op into a
+    pallas_call, so the plain form pays an extra ~12 B/row pass on the
+    hot fine level)."""
+    from . import pallas_dia
+
+    if isinstance(a, Dia) and b.shape[0] == a.padded_rows \
+            and pallas_dia.usable(a, x):
+        return pallas_dia.resid(a, x, b)
+    return b - spmv(a, x)[: b.shape[0]]

@@ -134,6 +134,7 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
             ranges=level.ranges,
             compact_idx=put(level.compact_idx),
             member_idx=put(level.member_idx),
+            gs_w=put(level.gs_w),
         )
 
     def shard_rows(arr):
@@ -225,6 +226,11 @@ def _shard_level(level: Level, mesh: Mesh, replicate: bool, ndev: int) -> Level:
             jax.device_put(level.member_idx, _replicated(mesh))
             if level.member_idx is not None
             else None
+        ),
+        gs_w=(
+            jax.device_put(level.gs_w,
+                           NamedSharding(mesh, P(None, "x")))
+            if level.gs_w is not None else None
         ),
     )
 

@@ -94,6 +94,7 @@ def _level_specs(level: Level, sharded: bool, axis: str) -> Level:
         ranges=level.ranges,
         compact_idx=vec(level.compact_idx, R),
         member_idx=vec(level.member_idx, R),
+        gs_w=vec(level.gs_w, P(None, axis) if sharded else P()),
     )
 
 

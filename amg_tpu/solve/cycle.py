@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..params import AMGParams, CoarsestSolver
 from ..hierarchy import Hierarchy
-from ..ops.spmv import spmv
+from ..ops.spmv import spmv, residual_fused
 from .smoothers import smooth
 
 
@@ -70,7 +70,7 @@ def _cycle_level(mg: Hierarchy, l: int, x, b, pars: AMGParams, ctol):
         # pre-smoothing
         x = smooth(level, x, b, pars_l, pars.pre_iter, pre=True)
         # restrict residual
-        r = b - spmv(level.a, x)
+        r = residual_fused(level.a, x, b)
         if level.member_idx is not None:
             # compact boundary: gather the residual at this level's member
             # positions (n_E-sized — small), then compact Ell restriction.

@@ -37,8 +37,22 @@ def _masked_group_update(level, x, b, g: int, relax=None):
     Gather-free: one full (diagonal-slice) SpMV, then a masked update of the
     group's rows.  ``t_i = (b_i - (Ax)_i + a_ii x_i) / a_ii`` is the exact
     GS update because rows within a group are mutually independent.
+
+    With a precomputed group-weight stack (``level.gs_w``) and the Pallas
+    DIA kernel applicable, the whole update runs as ONE fused kernel pass
+    ``x + w_g * (b - A x)`` (pallas_dia.gs_update): the select, diagonal
+    add-back and division fold into the kernel epilogue, saving the
+    separate ~24 B/row XLA elementwise pass per color.
     """
     from ..ops.spmv import spmv
+    from ..ops import pallas_dia
+
+    if (relax is None and level.gs_w is not None
+            and isinstance(level.a, Dia)
+            and 0 in level.a.offsets
+            and b.shape[0] == level.a.padded_rows
+            and pallas_dia.usable(level.a, x)):
+        return pallas_dia.gs_update(level.a, x, b, level.gs_w[g])
 
     ax = spmv(level.a, x)
     t = (b - ax + level.diag * x) * level.inv_diag

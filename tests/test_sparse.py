@@ -397,3 +397,30 @@ def test_well_pallas_interpret(rng):
     y = np.asarray(pallas_well.spmv(w, x, interpret=True))[: a.n_rows]
     want = np.asarray(spmv(w, x))[: a.n_rows]
     np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_dia_fused_epilogues(rng):
+    """The fused DIA kernel epilogues (r = b - Ax; x + w*(b - Ax)) match
+    the unfused forms (interpret mode; on TPU these cut the smoother's
+    HBM traffic by the separate elementwise pass per color)."""
+    import jax.numpy as jnp
+    import amg_tpu as amg
+    from amg_tpu.sparse import Dia
+    from amg_tpu.ops import pallas_dia
+    from amg_tpu.ops.spmv import spmv
+
+    a = amg.poisson3d(16)
+    d = Dia.from_csr(a, dtype=jnp.float32, pad_rows_to=4096)
+    x = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    ax = np.asarray(spmv(d, x))
+    scale = np.abs(ax).max()
+
+    r_k = np.asarray(pallas_dia.resid(d, x, b, interpret=True))
+    np.testing.assert_allclose(r_k / scale,
+                               (np.asarray(b) - ax) / scale, atol=2e-6)
+
+    u_k = np.asarray(pallas_dia.gs_update(d, x, b, w, interpret=True))
+    want = np.asarray(x) + np.asarray(w) * (np.asarray(b) - ax)
+    np.testing.assert_allclose(u_k / scale, want / scale, atol=2e-6)
