@@ -210,6 +210,25 @@ def _build_df64(ngroups, S, xrows, interpret=False):
     )
 
 
+# SMEM budget for the prefetched window-base table (v5e SMEM ~1 MB);
+# operators whose full table exceeds it run in group CHUNKS — each chunk
+# is an independent pallas_call over a slice of the group axis (same
+# compiled kernel for equal chunk sizes), so 10M-row operators clear the
+# gate instead of falling back to the 1.4 s/apply XLA f64 gather
+# (VERDICT r4 item 3)
+_SMEM_BASE_BUDGET = 900 * 1024
+
+
+def _group_chunks(ngroups: int, S: int):
+    """Split the group axis so each chunk's base table fits SMEM."""
+    max_g = max(_SMEM_BASE_BUDGET // (S * 4), 1)
+    if ngroups <= max_g:
+        return [(0, ngroups)]
+    n_chunks = -(-ngroups // max_g)
+    cg = -(-ngroups // n_chunks)
+    return [(s, min(cg, ngroups - s)) for s in range(0, ngroups, cg)]
+
+
 def spmv_df64(a, x64: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """f64-quality y = A @ x for a df64-split WEll (``a.vals_lo`` set).
 
@@ -222,11 +241,16 @@ def spmv_df64(a, x64: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(jnp.float64)).astype(jnp.float32)
     ngroups = a.vals.shape[0]
-    fn = _build_df64(ngroups, a.n_slots, pc // 128, interpret=interpret)
-    yh, yl = fn(a.base.reshape(-1), xh.reshape(pc // 128, 128),
-                xl.reshape(pc // 128, 128), a.loc, a.vals, a.vals_lo)
-    return (yh.astype(jnp.float64)
-            + yl.astype(jnp.float64)).reshape(ngroups * 1024)
+    xh2, xl2 = xh.reshape(pc // 128, 128), xl.reshape(pc // 128, 128)
+    outs = []
+    for s, cg in _group_chunks(ngroups, a.n_slots):
+        fn = _build_df64(cg, a.n_slots, pc // 128, interpret=interpret)
+        yh, yl = fn(a.base[s:s + cg].reshape(-1), xh2, xl2,
+                    a.loc[s:s + cg], a.vals[s:s + cg],
+                    a.vals_lo[s:s + cg])
+        outs.append((yh.astype(jnp.float64)
+                     + yl.astype(jnp.float64)).reshape(cg * 1024))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def usable_df64(a, x) -> bool:
@@ -236,8 +260,7 @@ def usable_df64(a, x) -> bool:
         return False
     if jnp.dtype(a.vals.dtype) != jnp.float32:
         return False
-    if a.vals.shape[0] * a.n_slots * 4 > 900 * 1024:
-        return False
+    # no base-table cap: spmv_df64 chunks the group axis to fit SMEM
     xrows = a.pad_cols // 128
     tile_bytes = 3 * a.n_slots * 1024 * 4
     return 2 * xrows * 128 * 4 + 2 * tile_bytes + 8 * 1024 <= _VMEM_BUDGET
@@ -251,11 +274,8 @@ def will_use(ngroups, n_slots, pad_cols, vals_dtype, x_dtype) -> bool:
         return False
     if jnp.dtype(vals_dtype) not in (jnp.float32, jnp.bfloat16):
         return False
-    # the base table is a prefetched SMEM operand (limit 1 MB on v5e);
-    # an unreordered matrix can blow S up past it — fall back rather
-    # than fail compile
-    if ngroups * n_slots * 4 > 900 * 1024:
-        return False
+    # (the base table chunks over the group axis when it exceeds SMEM;
+    # no ngroups cap here)
     xrows = pad_cols // 128
     x_bytes = xrows * 128 * 4
     tile_bytes = 2 * n_slots * 1024 * (4 + jnp.dtype(vals_dtype).itemsize)
@@ -279,7 +299,11 @@ def spmv(a, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     xp = jnp.pad(x, (0, pc - x.shape[0])) if x.shape[0] < pc else x[:pc]
     x2d = xp.reshape(pc // 128, 128)
     ngroups = a.vals.shape[0]
-    fn = _build(ngroups, a.n_slots, pc // 128, str(x.dtype),
-                str(a.vals.dtype), interpret=interpret)
-    return fn(a.base.reshape(-1), x2d, a.loc,
-              a.vals).reshape(ngroups * 1024)
+    outs = []
+    for s, cg in _group_chunks(ngroups, a.n_slots):
+        fn = _build(cg, a.n_slots, pc // 128, str(x.dtype),
+                    str(a.vals.dtype), interpret=interpret)
+        outs.append(fn(a.base[s:s + cg].reshape(-1), x2d,
+                       a.loc[s:s + cg],
+                       a.vals[s:s + cg]).reshape(cg * 1024))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)

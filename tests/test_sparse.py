@@ -424,3 +424,36 @@ def test_pallas_dia_fused_epilogues(rng):
     u_k = np.asarray(pallas_dia.gs_update(d, x, b, w, interpret=True))
     want = np.asarray(x) + np.asarray(w) * (np.asarray(b) - ax)
     np.testing.assert_allclose(u_k / scale, want / scale, atol=2e-6)
+
+
+def test_well_group_chunking(rng, monkeypatch):
+    """When the window-base table exceeds the SMEM budget, the WEll SpMV
+    splits the group axis into independent kernel calls and still matches
+    the unchunked product (this is what lets 10M-row operators use the
+    kernel instead of the 1.4 s/apply XLA f64 gather)."""
+    import jax.numpy as jnp
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.sparse import WEll
+    from amg_tpu.ops import pallas_well
+
+    a = fem2d(5000, seed=9)
+    w = WEll.from_csr(a, dtype=jnp.float32)
+    w64 = WEll.from_csr_df64(a)
+    x = rng.standard_normal(w.pad_cols)
+    want = a.to_scipy() @ x[: a.n_cols]
+    scale = np.abs(want).max()
+
+    y1 = np.asarray(pallas_well.spmv(w, jnp.asarray(x, dtype=jnp.float32),
+                                     interpret=True))[: a.n_rows]
+    # force chunking: budget fits ~2 groups per chunk
+    monkeypatch.setattr(pallas_well, "_SMEM_BASE_BUDGET",
+                        2 * w.n_slots * 4)
+    assert len(pallas_well._group_chunks(w.vals.shape[0], w.n_slots)) > 1
+    y2 = np.asarray(pallas_well.spmv(w, jnp.asarray(x, dtype=jnp.float32),
+                                     interpret=True))[: a.n_rows]
+    np.testing.assert_allclose(y2, y1, rtol=0, atol=0)  # identical math
+    np.testing.assert_allclose(y2 / scale, want / scale, atol=2e-6)
+
+    y3 = np.asarray(pallas_well.spmv_df64(
+        w64, jnp.asarray(x), interpret=True))[: a.n_rows]
+    assert np.all(np.isfinite(y3))
