@@ -320,8 +320,15 @@ def pmis_split_device(s: CSR, seed: int = 42) -> tuple[np.ndarray, int]:
     cols_t = jnp.asarray(st.indices, dtype=jnp.int32)
 
     key = jax.random.PRNGKey(seed)
-    lam = jnp.asarray(indeg) + jax.random.uniform(key, (n,), dtype=jnp.float32
-                                                  ).astype(jnp.float64)
+    # strictly unique measures: the f32 uniforms are multiples of 2^-24,
+    # so adding i * 2^-50 (< 2^-24 for any realistic n <= 67M) makes
+    # lam_i == lam_j imply i == j — the tie-deadlock fallback below can
+    # then never fire repeatedly (it used to resolve exact f32 collisions
+    # one node per round, O(n) rounds worst-case on adversarial ties)
+    lam = (jnp.asarray(indeg)
+           + jax.random.uniform(key, (n,), dtype=jnp.float32
+                                ).astype(jnp.float64)
+           + jnp.arange(n, dtype=jnp.float64) * (2.0 ** -50))
 
     vec0 = np.full(n, UNPT, dtype=np.int32)
     isolated = s.indptr[1:] == s.indptr[:-1]
