@@ -264,8 +264,8 @@ def _build(offsets, pad, lo, hi, dtype_name, vals_dtype_name,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * nd * pad,
-            bytes_accessed=(nd + 2) * pad * dtype.itemsize,
+            flops=int(2 * nd * pad),
+            bytes_accessed=int((nd + 2) * pad * dtype.itemsize),
             transcendentals=0,
         ),
         # XLA's scoped-vmem pass stages this call's in/out tensors in VMEM
@@ -361,8 +361,8 @@ def _build_multi(offsets, pad, lo, hi, kb, dtype_name, vals_dtype_name,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * nd * pad * kb,
-            bytes_accessed=(nd + 2 * kb) * pad * dtype.itemsize,
+            flops=int(2 * nd * pad * kb),
+            bytes_accessed=int((nd + 2 * kb) * pad * dtype.itemsize),
             transcendentals=0,
         ),
         # XLA's scoped-vmem pass tries to park the (kb, pad) in/out

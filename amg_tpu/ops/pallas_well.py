@@ -117,9 +117,9 @@ def _build(ngroups, S, xrows, dtype_name, vals_dtype_name, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((ngroups, 8, 128), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ngroups * S * 1024,
-            bytes_accessed=ngroups * S * 1024 * (
-                4 + vals_dtype.itemsize) + xrows * 128 * dtype.itemsize,
+            flops=int(2 * ngroups * S * 1024),
+            bytes_accessed=int(ngroups * S * 1024 * (
+                4 + vals_dtype.itemsize) + xrows * 128 * dtype.itemsize),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -200,8 +200,8 @@ def _build_df64(ngroups, S, xrows, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((ngroups, 8, 128), f32),
                    jax.ShapeDtypeStruct((ngroups, 8, 128), f32)],
         cost_estimate=pl.CostEstimate(
-            flops=30 * ngroups * S * 1024,
-            bytes_accessed=ngroups * S * 1024 * 12 + 2 * xrows * 128 * 4,
+            flops=int(30 * ngroups * S * 1024),
+            bytes_accessed=int(ngroups * S * 1024 * 12 + 2 * xrows * 128 * 4),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(

@@ -86,7 +86,7 @@ def main():
             try:
                 z = np.load(mpath)
                 a = CSR(z["indptr"], z["indices"], z["data"],
-                        tuple(z["shape"]))
+                        tuple(int(v) for v in z["shape"]))
                 log(f"matrix cache hit ({mpath})")
             except Exception as exc:
                 log(f"matrix cache unreadable ({exc}); regenerating")
