@@ -135,6 +135,24 @@ class AMGSolver:
                 # 1M rows vs ~1.4 s for the XLA f64 gather fallback)
                 self.a0_hi = WEll.from_csr_df64(a_int, pad_rows_to=self.pad,
                                                 pad_cols_to=self.pad)
+                # the df64 hi plane IS the f32 pack (same packer, same
+                # slots): share it with the cycle's level-0 operator so
+                # level 0 is resident ONCE, not twice (~1.6 GB at 10M
+                # rows — the margin between fitting HBM and OOM there)
+                import dataclasses as _dc
+
+                w0 = self.mg.levels[0].a
+                if (isinstance(w0, WEll)
+                        and w0.vals.dtype == self.a0_hi.vals.dtype
+                        and w0.vals.shape == self.a0_hi.vals.shape):
+                    shared = WEll(self.a0_hi.vals, self.a0_hi.loc,
+                                  self.a0_hi.base, w0.shape, w0.nnz,
+                                  w0.pad_cols, None, w0.ring_plan)
+                    self.mg = _dc.replace(
+                        self.mg,
+                        levels=(
+                            _dc.replace(self.mg.levels[0], a=shared),
+                        ) + self.mg.levels[1:])
             else:
                 self.a0_hi = Ell.from_csr(a_int, dtype=jnp.float64,
                                           pad_rows_to=self.pad)
