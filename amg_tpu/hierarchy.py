@@ -1007,8 +1007,10 @@ def _level_from_csr(
     # large vectors (the XLA scalar-loop path) — pack them as WEll too.
     # Output lengths must match the level pads exactly, so WEll (which
     # pads rows to 1024) applies only when the pad is 1024-aligned.
+    tr_dtype = dtype if pars.transfer_op_dtype == "same" \
+        else jnp.dtype(pars.transfer_op_dtype)
     if p is not None and fmt == "well" and pad % 1024 == 0:
-        p_ell = WEll.from_csr(p, dtype=dtype, pad_rows_to=pad,
+        p_ell = WEll.from_csr(p, dtype=tr_dtype, pad_rows_to=pad,
                               pad_cols_to=pad_coarse,
                               ring_devices=pars.dist_devices)
     elif p is not None:
@@ -1017,7 +1019,7 @@ def _level_from_csr(
         p_ell = None
     if r is not None and fmt == "well" and pad_coarse is not None \
             and pad_coarse % 1024 == 0:
-        r_ell = WEll.from_csr(r, dtype=dtype, pad_rows_to=pad_coarse,
+        r_ell = WEll.from_csr(r, dtype=tr_dtype, pad_rows_to=pad_coarse,
                               pad_cols_to=pad,
                               ring_devices=pars.dist_devices)
     elif r is not None:

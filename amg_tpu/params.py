@@ -202,6 +202,13 @@ class AMGParams:
     # operator storage halves the dominant HBM traffic with little
     # convergence impact (outer accuracy comes from defect correction).
     coarse_op_dtype: str = "same"
+    # Storage dtype for the P/R transfer-operator VALUES on WEll levels
+    # ("same" = solve dtype).  bf16 halves the value planes — at 10M-row
+    # unstructured scale the level-0 R alone is 4.8 GB in f32 (wide
+    # coarse rows are the WEll worst case) and this is the margin that
+    # fits HBM; interpolation weights tolerate bf16 far better than A
+    # itself, and the FCG wrap + f64 outer absorb the rest.
+    transfer_op_dtype: str = "same"
     # Mixed-precision defect correction: run the V-cycles in `dtype`
     # (f32/bf16 — MXU/VPU native) but iterate the correction against an
     # f64 level-0 residual, reaching f64-grade tolerances (e.g. 1e-8) at

@@ -160,9 +160,11 @@ def main():
 
     interp = InterpType[os.environ.get("AMG_BENCH_INTERP", "DIR")]
     cs_type = CoarsenType[os.environ.get("AMG_BENCH_CS", "RS")]
+    transfer_od = os.environ.get("AMG_BENCH_TRANSFER_DTYPE", "same")
     pars = amg.AMGParams(
         interp_type=interp,
         cs_type=cs_type,
+        transfer_op_dtype=transfer_od,
         cycle_type=int(os.environ.get("AMG_BENCH_CYCLE", "1")),
         poly_deg_schedule=poly_sched,
         coarse_stop_rows=coarse_stop,

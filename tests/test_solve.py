@@ -925,3 +925,25 @@ def test_poly_degree_schedule():
     assert info_s.rres < 1e-8 and info_b.rres < 1e-8
     # lighter deep smoothing may cost a few iterations, not blow up
     assert info_s.nits <= info_b.nits + 4
+
+
+def test_transfer_op_dtype_bf16_converges():
+    """bf16 P/R value planes on WEll levels (the 10M-row HBM-fit knob)
+    still converge under the FCG wrap with an f64 outer iteration."""
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.sparse import WEll
+
+    a = fem2d(20000, seed=17)
+    b = np.random.default_rng(19).standard_normal(a.n_rows)
+    pars = AMGParams(verbose=0, tol=1e-8, accel="cg", refine=True,
+                     well_min_rows=1024, use_well="on",
+                     transfer_op_dtype="bfloat16",
+                     coarse_smoother=SmootherType.CHEBYSHEV, max_it=60)
+    s = amg.AMGSolver(a, pars, log=lambda *x: None)
+    import jax.numpy as jnp
+    lv0 = s.mg.levels[0]
+    assert isinstance(lv0.p, WEll) and lv0.p.vals.dtype == jnp.bfloat16
+    x, info = s.solve(b)
+    assert info.rres < 1e-8
+    r = b - a.matvec(np.asarray(x, dtype=np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
