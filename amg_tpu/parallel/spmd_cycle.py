@@ -164,18 +164,6 @@ def _chebyshev_local(level, x, b, degree, axis, n_shards):
     return x
 
 
-def _masked_gs_local(level, x, b, order, axis, n_shards):
-    """Multicolor masked GS with ring SpMVs (same math as
-    solve/smoothers.py::_masked_group_update; gid is row-sharded so the
-    mask is local)."""
-    for g in order:
-        ax = _ring_spmv(level.a, x, axis, n_shards)
-        t = (b - ax + level.diag * x) * level.inv_diag
-        upd = (level.gid == g) & (level.inv_diag != 0)
-        x = jnp.where(upd, t, x)
-    return x
-
-
 def _gs_sweep_local(level, x, b, order, axis, n_shards, relax=None):
     """One masked GS sweep over color groups with ring SpMVs (the
     shard_map counterpart of solve/smoothers.py::gs_sweep)."""
