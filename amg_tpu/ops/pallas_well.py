@@ -64,28 +64,41 @@ def _gather_lane(t, r):
                           mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
+def _decode(lc):
+    """Split a loc plane into (Q table, remainder).  loc is int16,
+    ``(Q << 7) | r`` — 10 bits (Q < 8, r < 128); int16 storage halves
+    both the HBM footprint and the streamed bytes of every index plane
+    vs the former int32 ``(Q << 16) | r`` encoding."""
+    lc = lc.astype(jnp.int32)
+    return (jax.lax.shift_right_logical(lc, jnp.int32(7)),
+            jax.lax.bitwise_and(lc, jnp.int32(127)))
+
+
 @functools.lru_cache(maxsize=None)
-def _build(ngroups, S, xrows, dtype_name, vals_dtype_name, interpret=False):
+def _build(cg, S, xrows, dtype_name, vals_dtype_name, interpret=False):
+    """Kernel over ``cg`` row groups.  Operands are the FULL (ngroups)
+    loc/vals arrays; a scalar-prefetched chunk offset shifts the grid's
+    block index maps, so group-chunked calls (SMEM base-table budget)
+    slice NOTHING — a jax-level ``a.loc[s:s+cg]`` materialized ~760 MB
+    HLO-temp copies per chunk at 10M rows and OOM'd compilation."""
     dtype = jnp.dtype(dtype_name)
     vals_dtype = jnp.dtype(vals_dtype_name)
     # index maps must emit i32 (the library enables jax x64 globally and
     # i64 scalars fail Mosaic lowering — same workaround as pallas_dia)
     i32 = jnp.int32
 
-    def kernel(base_ref, x_ref, loc_ref, vals_ref, out_ref):
+    def kernel(s0_ref, base_ref, x_ref, loc_ref, vals_ref, out_ref):
         g = pl.program_id(0)
         acc = jnp.zeros((8, 128), dtype)
         for k in range(S):  # static unroll: S is small (~max row degree)
             b = base_ref[g * S + k]
             tbl = x_ref[pl.ds(b, 8), :]
-            lc = loc_ref[0, k]
-            # lc packs two planes: bits 0..6 the entry's column remainder
-            # (at the entry's own lane), bits 16+ the Q table (block of
+            # loc packs two planes: bits 0..6 the entry's column remainder
+            # (at the entry's own lane), bits 7..9 the Q table (block of
             # the remainder-j entry, at lane j).  The two-step gather
             # composes as window[Q[s, r[s,l]], r[s,l]] — exactly the
             # entry's column (packer invariant).
-            q_tab = jax.lax.shift_right_logical(lc, jnp.int32(16))
-            r = jax.lax.bitwise_and(lc, jnp.int32(127))
+            q_tab, r = _decode(loc_ref[0, k])
             gx = _gather_lane(_gather_sub(tbl, q_tab), r)
             v = vals_ref[0, k]
             if vals_dtype != dtype:
@@ -96,30 +109,32 @@ def _build(ngroups, S, xrows, dtype_name, vals_dtype_name, interpret=False):
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,                      # window bases (SMEM)
-            grid=(ngroups,),
+            num_scalar_prefetch=2,          # chunk offset + window bases
+            grid=(cg,),
             in_specs=[
                 # x2d, fully VMEM-resident (explicit i32 index map: the
                 # default trivial map emits i64 zeros under jax x64)
                 pl.BlockSpec((xrows, 128),
-                             lambda g, base: (i32(0), i32(0)),
+                             lambda g, s0, base: (i32(0), i32(0)),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, S, 8, 128),
-                             lambda g, base: (g, i32(0), i32(0), i32(0)),
+                             lambda g, s0, base: (g + s0[0], i32(0),
+                                                  i32(0), i32(0)),
                              memory_space=pltpu.VMEM),  # loc tile
                 pl.BlockSpec((1, S, 8, 128),
-                             lambda g, base: (g, i32(0), i32(0), i32(0)),
+                             lambda g, s0, base: (g + s0[0], i32(0),
+                                                  i32(0), i32(0)),
                              memory_space=pltpu.VMEM),  # vals tile
             ],
             out_specs=pl.BlockSpec((1, 8, 128),
-                                   lambda g, base: (g, i32(0), i32(0)),
+                                   lambda g, s0, base: (g, i32(0), i32(0)),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((ngroups, 8, 128), dtype),
+        out_shape=jax.ShapeDtypeStruct((cg, 8, 128), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * ngroups * S * 1024),
-            bytes_accessed=int(ngroups * S * 1024 * (
-                4 + vals_dtype.itemsize) + xrows * 128 * dtype.itemsize),
+            flops=int(2 * cg * S * 1024),
+            bytes_accessed=int(cg * S * 1024 * (
+                2 + vals_dtype.itemsize) + xrows * 128 * dtype.itemsize),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -129,7 +144,7 @@ def _build(ngroups, S, xrows, dtype_name, vals_dtype_name, interpret=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_df64(ngroups, S, xrows, interpret=False):
+def _build_df64(cg, S, xrows, interpret=False):
     """Double-single (df64) WEll SpMV: f64-quality y = A @ x from pure-f32
     VPU arithmetic — the TPU-native stand-in for the f64 matvec the outer
     defect-correction / FCG loop needs (TPU has no hardware f64; the XLA
@@ -147,16 +162,14 @@ def _build_df64(ngroups, S, xrows, interpret=False):
     f32 = jnp.float32
     i32 = jnp.int32
 
-    def kernel(base_ref, xh_ref, xl_ref, loc_ref, vh_ref, vl_ref,
-               oh_ref, ol_ref):
+    def kernel(s0_ref, base_ref, xh_ref, xl_ref, loc_ref, vh_ref,
+               vl_ref, oh_ref, ol_ref):
         g = pl.program_id(0)
         s = jnp.zeros((8, 128), f32)
         c = jnp.zeros((8, 128), f32)
         for k in range(S):
             b = base_ref[g * S + k]
-            lc = loc_ref[0, k]
-            q_tab = jax.lax.shift_right_logical(lc, jnp.int32(16))
-            r = jax.lax.bitwise_and(lc, jnp.int32(127))
+            q_tab, r = _decode(loc_ref[0, k])
             gh = _gather_lane(_gather_sub(xh_ref[pl.ds(b, 8), :], q_tab), r)
             gl = _gather_lane(_gather_sub(xl_ref[pl.ds(b, 8), :], q_tab), r)
             vh = vh_ref[0, k]
@@ -181,27 +194,28 @@ def _build_df64(ngroups, S, xrows, interpret=False):
         ol_ref[0] = c
 
     tile = lambda: pl.BlockSpec((1, S, 8, 128),
-                                lambda g, base: (g, i32(0), i32(0), i32(0)),
+                                lambda g, s0, base: (g + s0[0], i32(0),
+                                                     i32(0), i32(0)),
                                 memory_space=pltpu.VMEM)
     xspec = lambda: pl.BlockSpec((xrows, 128),
-                                 lambda g, base: (i32(0), i32(0)),
+                                 lambda g, s0, base: (i32(0), i32(0)),
                                  memory_space=pltpu.VMEM)
     ospec = lambda: pl.BlockSpec((1, 8, 128),
-                                 lambda g, base: (g, i32(0), i32(0)),
+                                 lambda g, s0, base: (g, i32(0), i32(0)),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ngroups,),
+            num_scalar_prefetch=2,          # chunk offset + window bases
+            grid=(cg,),
             in_specs=[xspec(), xspec(), tile(), tile(), tile()],
             out_specs=[ospec(), ospec()],
         ),
-        out_shape=[jax.ShapeDtypeStruct((ngroups, 8, 128), f32),
-                   jax.ShapeDtypeStruct((ngroups, 8, 128), f32)],
+        out_shape=[jax.ShapeDtypeStruct((cg, 8, 128), f32),
+                   jax.ShapeDtypeStruct((cg, 8, 128), f32)],
         cost_estimate=pl.CostEstimate(
-            flops=int(30 * ngroups * S * 1024),
-            bytes_accessed=int(ngroups * S * 1024 * 12 + 2 * xrows * 128 * 4),
+            flops=int(30 * cg * S * 1024),
+            bytes_accessed=int(cg * S * 1024 * 10 + 2 * xrows * 128 * 4),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -245,9 +259,9 @@ def spmv_df64(a, x64: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     outs = []
     for s, cg in _group_chunks(ngroups, a.n_slots):
         fn = _build_df64(cg, a.n_slots, pc // 128, interpret=interpret)
-        yh, yl = fn(a.base[s:s + cg].reshape(-1), xh2, xl2,
-                    a.loc[s:s + cg], a.vals[s:s + cg],
-                    a.vals_lo[s:s + cg])
+        yh, yl = fn(jnp.asarray([s], dtype=jnp.int32),
+                    a.base[s:s + cg].reshape(-1), xh2, xl2,
+                    a.loc, a.vals, a.vals_lo)
         outs.append((yh.astype(jnp.float64)
                      + yl.astype(jnp.float64)).reshape(cg * 1024))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
@@ -278,7 +292,7 @@ def will_use(ngroups, n_slots, pad_cols, vals_dtype, x_dtype) -> bool:
     # no ngroups cap here)
     xrows = pad_cols // 128
     x_bytes = xrows * 128 * 4
-    tile_bytes = 2 * n_slots * 1024 * (4 + jnp.dtype(vals_dtype).itemsize)
+    tile_bytes = 2 * n_slots * 1024 * (2 + jnp.dtype(vals_dtype).itemsize)
     return x_bytes + 2 * tile_bytes + 8 * 1024 <= _VMEM_BUDGET
 
 
@@ -303,7 +317,9 @@ def spmv(a, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     for s, cg in _group_chunks(ngroups, a.n_slots):
         fn = _build(cg, a.n_slots, pc // 128, str(x.dtype),
                     str(a.vals.dtype), interpret=interpret)
-        outs.append(fn(a.base[s:s + cg].reshape(-1), x2d,
-                       a.loc[s:s + cg],
-                       a.vals[s:s + cg]).reshape(cg * 1024))
+        # full loc/vals operands + a prefetched chunk offset: only the
+        # (small) base slice materializes
+        outs.append(fn(jnp.asarray([s], dtype=jnp.int32),
+                       a.base[s:s + cg].reshape(-1), x2d,
+                       a.loc, a.vals).reshape(cg * 1024))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)

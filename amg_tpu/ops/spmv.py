@@ -49,8 +49,9 @@ def spmv_well(a: WEll, x: jnp.ndarray) -> jnp.ndarray:
         return pallas_well.spmv(a, x)
     pc = a.pad_cols
     xp = jnp.pad(x, (0, pc - x.shape[0])) if x.shape[0] < pc else x[:pc]
-    r = a.loc & 127
-    q = jnp.take_along_axis(a.loc, r, axis=3) >> 16  # Q table at lane=r
+    loc32 = a.loc.astype(jnp.int32)
+    r = loc32 & 127
+    q = jnp.take_along_axis(loc32, r, axis=3) >> 7   # Q table at lane=r
     idx = (a.base.astype(jnp.int32)[:, :, None, None] + q) * 128 + r
     v = a.vals
     if a.vals_lo is not None:

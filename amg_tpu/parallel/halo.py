@@ -316,7 +316,8 @@ def _well_apply(w, base_i32: jnp.ndarray, xw: jnp.ndarray, xrows: int,
         fn = pallas_well._build(ngroups_l, w.n_slots, xrows,
                                 str(xw.dtype), str(w.vals.dtype),
                                 interpret=interpret)
-        return fn(base_i32.reshape(-1), xw.reshape(xrows, 128),
+        return fn(jnp.zeros((1,), jnp.int32), base_i32.reshape(-1),
+                  xw.reshape(xrows, 128),
                   w.loc, w.vals).reshape(ngroups_l * 1024)
     x2d = xw.reshape(xrows, 128)
     vals = w.vals
@@ -326,11 +327,11 @@ def _well_apply(w, base_i32: jnp.ndarray, xw: jnp.ndarray, xrows: int,
 
     def slot(b, lc, v):
         tbl = jax.lax.dynamic_slice(x2d, (b, jnp.int32(0)), (8, 128))
-        q_tab = jax.lax.shift_right_logical(lc, jnp.int32(16))
+        lc = lc.astype(jnp.int32)
+        q_tab = jax.lax.shift_right_logical(lc, jnp.int32(7))
         r = jax.lax.bitwise_and(lc, jnp.int32(127))
         gx = jnp.take_along_axis(
-            jnp.take_along_axis(tbl, q_tab.astype(jnp.int32), axis=0),
-            r.astype(jnp.int32), axis=1)
+            jnp.take_along_axis(tbl, q_tab, axis=0), r, axis=1)
         return v.astype(xw.dtype) * gx
 
     outs = jax.vmap(jax.vmap(slot))(base_i32, w.loc, vals).sum(axis=1)
@@ -479,7 +480,8 @@ def well_spmv_ring_local_df64(w, x64_local: jnp.ndarray, axis_name: str,
                                   if p is not None])
         fn = pallas_well._build_df64(ngroups_l, w.n_slots, xrows,
                                      interpret=interpret)
-        yh, yl = fn(base_local.reshape(-1), xh.reshape(xrows, 128),
+        yh, yl = fn(jnp.zeros((1,), jnp.int32), base_local.reshape(-1),
+                    xh.reshape(xrows, 128),
                     xl.reshape(xrows, 128), w.loc, w.vals, w.vals_lo)
         return (yh.astype(jnp.float64)
                 + yl.astype(jnp.float64)).reshape(ngroups_l * 1024)

@@ -661,7 +661,8 @@ class WEll:
     column remainder is ``j``.  The packer enforces the uniqueness
     (entries in one slot and output sublane with equal column remainder
     must share the whole column); both are packed into one int32 plane,
-    ``loc = (Q[s, l] << 16) | r[s, l]``.
+    ``loc = (Q[s, l] << 7) | r[s, l]`` (int16 — 10 bits suffice,
+    halving the index plane's bytes).
 
     A bandwidth-reducing row ordering (RCM) keeps windows local so slot
     counts stay near the max row degree (measured ~35% slot fill on a 1M
@@ -672,7 +673,7 @@ class WEll:
     """
 
     vals: jnp.ndarray   # (ngroups, S, 8, 128) dtype
-    loc: jnp.ndarray    # (ngroups, S, 8, 128) int32: (Q << 16) | r
+    loc: jnp.ndarray    # (ngroups, S, 8, 128) int16: (Q << 7) | r
     base: jnp.ndarray   # (ngroups, S) int32 window start (sublane units)
     shape: Tuple[int, int]
     nnz: int
@@ -812,12 +813,15 @@ class WEll:
             _native = None
         if _native is not None and hasattr(_native, "well_pack"):
             base, loc, vals = _native.well_pack(a, ngroups, pc)
-            return vals.astype(np.dtype(dtype), copy=False), loc, base
+            # native emits the legacy int32 (Q<<16)|r; re-encode to the
+            # int16 (Q<<7)|r storage format (lossless: Q<8, r<128)
+            loc16 = (((loc >> 16) << 7) | (loc & 0x7F)).astype(np.int16)
+            return vals.astype(np.dtype(dtype), copy=False), loc16, base
 
         per_group = WEll._pack_greedy_py(a, pc)
         S = max(max((len(s) for s in per_group), default=1), 1)
         vals = np.zeros((ngroups, S, 8, 128), dtype=np.dtype(dtype))
-        loc = np.zeros((ngroups, S, 8, 128), dtype=np.int32)
+        loc = np.zeros((ngroups, S, 8, 128), dtype=np.int16)
         base = np.zeros((ngroups, S), dtype=np.int32)
         for g, slots in enumerate(per_group):
             for k, (b, _, rmap, entries) in enumerate(slots):
@@ -829,7 +833,7 @@ class WEll:
                 # Q table: lane j of sublane s holds the block of the
                 # remainder-j entry (the two-step gather reads it there)
                 for (s, rem), q in rmap.items():
-                    loc[g, k, s, rem] |= q << 16
+                    loc[g, k, s, rem] |= q << 7
         return vals, loc, base
 
     @staticmethod
@@ -891,7 +895,7 @@ class WEll:
         g, k, s, l = np.nonzero(vals)
         rows = g * 1024 + s * 128 + l
         r = loc[g, k, s, l] & 127
-        q = loc[g, k, s, r] >> 16     # Q table lives at lane = remainder
+        q = loc[g, k, s, r] >> 7      # Q table lives at lane = remainder
         cols = base[g, k] * 128 + q * 128 + r
         keep = rows < self.n_rows
         return CSR.from_coo(rows[keep], cols[keep], vals[g, k, s, l][keep],

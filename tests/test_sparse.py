@@ -309,11 +309,13 @@ def test_well_roundtrip_and_spmv(rng):
     w = WEll.from_csr(a, dtype=jnp.float32)
 
     # packing invariants: remainders in [0,128), Q blocks in [0,8),
-    # windows inside the padded x
+    # windows inside the padded x; int16 storage of (Q << 7) | r
     loc = np.asarray(w.loc)
+    assert loc.dtype == np.int16
+    loc = loc.astype(np.int32)
     base = np.asarray(w.base)
-    assert ((loc & 0xFFFF) < 128).all()
-    assert (loc >> 16 < 8).all() and (loc >> 16 >= 0).all()
+    assert ((loc & 127) < 128).all() and (loc >= 0).all()
+    assert (loc >> 7 < 8).all()
     assert base.min() >= 0
     assert (128 * base.max() + 1024) <= w.pad_cols
 
