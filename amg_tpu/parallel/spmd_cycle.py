@@ -582,6 +582,18 @@ class SpmdAMGSolver:
                                 lambda r: _prec_local(mg_l, r),
                                 st, axis_name=axis)
 
+            def _accel_refresh_local(mg_l, hi_vals_l, st, b_l):
+                from ..solve.krylov import fcg_refresh
+
+                return fcg_refresh(
+                    lambda v: _amul_local(mg_l, hi_vals_l, v),
+                    lambda r: _prec_local(mg_l, r), b_l, st,
+                    axis_name=axis)
+
+            def _true_resnorm_local(mg_l, hi_vals_l, x_l, b_l):
+                return norm2(b_l - _amul_local(mg_l, hi_vals_l, x_l),
+                             axis)
+
             # placeholder when running the outer loop in f32 (amul then
             # reads the sharded hierarchy's own level-0 operator)
             self._hi_vals = self.a0_hi.vals if hi else jax.device_put(
@@ -599,6 +611,18 @@ class SpmdAMGSolver:
                 _accel_step_local, mesh=self.mesh,
                 in_specs=(specs, hi_spec, st_specs),
                 out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+            self._accel_refresh_fn = jax.jit(shard_map(
+                _accel_refresh_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, st_specs, P(self.axis)),
+                out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+            self._true_resnorm_fn = jax.jit(shard_map(
+                _true_resnorm_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, P(self.axis), P(self.axis)),
+                out_specs=P(),
                 check_vma=False,
             ))
 
@@ -720,6 +744,17 @@ class SpmdAMGSolver:
                                 lambda r: _prec_local(mg_l, r),
                                 st, axis_name=axis)
 
+            def _accel_refresh_local(mg_l, hi_w, st, b_l):
+                from ..solve.krylov import fcg_refresh
+
+                return fcg_refresh(
+                    lambda v: _amul_local(mg_l, hi_w, v),
+                    lambda r: _prec_local(mg_l, r), b_l, st,
+                    axis_name=axis)
+
+            def _true_resnorm_local(mg_l, hi_w, x_l, b_l):
+                return norm2(b_l - _amul_local(mg_l, hi_w, x_l), axis)
+
             if hi:
                 self._hi_vals = self.a0_hi
                 hi_spec = _mat_specs(self.a0_hi, True, axis)
@@ -739,6 +774,18 @@ class SpmdAMGSolver:
                 _accel_step_local, mesh=self.mesh,
                 in_specs=(specs, hi_spec, st_specs),
                 out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+            self._accel_refresh_fn = jax.jit(shard_map(
+                _accel_refresh_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, st_specs, P(axis)),
+                out_specs=(st_specs, P()),
+                check_vma=False,
+            ))
+            self._true_resnorm_fn = jax.jit(shard_map(
+                _true_resnorm_local, mesh=self.mesh,
+                in_specs=(specs, hi_spec, P(axis), P(axis)),
+                out_specs=P(),
                 check_vma=False,
             ))
 
@@ -777,14 +824,22 @@ class SpmdAMGSolver:
         absres0 = float(absres_d)
         info.residuals.append(absres0)
         check_every = 1 if pars.verbose else 4
+        refresh_every = 10
+        false_conv_left = 3
         pending = []
         xd = st[0]
         stop = False
-        for it in range(1, pars.max_it + 1):
+        it = 0
+        while it < pars.max_it:
+            it += 1
             st, absres_d = self._accel_step_fn(self.mg, self._hi_vals, st)
+            if it % refresh_every == 0:
+                st, absres_d = self._accel_refresh_fn(
+                    self.mg, self._hi_vals, st, bd)
             pending.append((it, st[0], absres_d))
             if len(pending) >= check_every or it == pars.max_it:
                 vals = np.asarray(jnp.stack([r for _, _, r in pending]))
+                converged = False
                 for (it_i, x_i, _), absres in zip(pending, vals):
                     absres = float(absres)
                     relres = absres / sumb
@@ -799,9 +854,23 @@ class SpmdAMGSolver:
                     info.residuals.append(absres)
                     xd = x_i
                     if relres < pars.tol:
-                        stop = True
+                        converged = True
                         break
                 pending = []
+                if converged and not stop:
+                    # verify on the exact stopping iterate (reference
+                    # Check III analog; see driver.solve_pcg)
+                    true_abs = float(self._true_resnorm_fn(
+                        self.mg, self._hi_vals, xd, bd))
+                    true_rel = true_abs / sumb
+                    if true_rel < pars.tol or false_conv_left == 0:
+                        info.ares, info.rres = true_abs, true_rel
+                        stop = True
+                    else:
+                        false_conv_left -= 1
+                        absres0 = true_abs
+                        st, _ = self._accel_refresh_fn(
+                            self.mg, self._hi_vals, st, bd)
             if stop:
                 break
         info.solve_seconds = time.perf_counter() - t0

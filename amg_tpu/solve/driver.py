@@ -180,7 +180,7 @@ class AMGSolver:
 
         # -- Krylov acceleration (AMG-preconditioned flexible CG) -------
         if pars.accel in ("cg", "gmres"):
-            from .krylov import fcg_init, fcg_step
+            from .krylov import fcg_init, fcg_step, fcg_refresh
 
             hi = self.a0_hi is not None
             self._accel_dtype = jnp.float64 if hi else self.dtype
@@ -206,8 +206,17 @@ class AMGSolver:
                 return fcg_step(lambda v: _amul(mg, a_hi, v),
                                 lambda r: _prec(mg, r), st)
 
+            def _accel_refresh(mg, a_hi, st, b):
+                return fcg_refresh(lambda v: _amul(mg, a_hi, v),
+                                   lambda r: _prec(mg, r), b, st)
+
+            def _true_resnorm(mg, a_hi, x, b):
+                return norm2(b - _amul(mg, a_hi, x))
+
             self._accel_init_fn = jax.jit(_accel_init)
             self._accel_step_fn = jax.jit(_accel_step)
+            self._accel_refresh_fn = jax.jit(_accel_refresh)
+            self._true_resnorm_fn = jax.jit(_true_resnorm)
 
             if pars.accel == "gmres":
                 from .krylov import gmres as _gmres
@@ -415,15 +424,26 @@ class AMGSolver:
         # tens of ms through the remote-execution relay; dispatches are
         # cheap), same as :meth:`solve`
         check_every = 1 if pars.verbose else 4
+        # residual replacement cadence: bound the recursive-residual
+        # drift (fcg_refresh docstring) without paying the extra A-apply
+        # every iteration
+        refresh_every = 10
+        false_conv_left = 3
         pending: list = []  # (it, device x, device absres)
         xd = st[0]
         stop = False
-        for it in range(1, pars.max_it + 1):
+        it = 0
+        while it < pars.max_it:
+            it += 1
             st, absres_d = self._accel_step_fn(self.mg, self.a0_hi, st)
+            if it % refresh_every == 0:
+                st, absres_d = self._accel_refresh_fn(
+                    self.mg, self.a0_hi, st, bd)
             pending.append((it, st[0], absres_d))
             if len(pending) >= check_every or it == pars.max_it:
                 batch = jnp.stack([r for _, _, r in pending])
                 vals = np.asarray(batch)  # one sync for the whole batch
+                converged = False
                 for (it_i, x_i, _), absres in zip(pending, vals):
                     absres = float(absres)
                     relres = absres / sumb
@@ -442,9 +462,32 @@ class AMGSolver:
                     info.residuals.append(absres)
                     xd = x_i
                     if relres < pars.tol:
-                        stop = True
+                        converged = True
                         break
                 pending = []
+                if converged and not stop:
+                    # verify before accepting: the recursive residual
+                    # can flatter the truth by eps*kappa (reference
+                    # Check III, amg/Solve/SSS_cycle.cu:311-355).  The
+                    # check runs on the exact stopping iterate xd, so the
+                    # returned x and reported rres stay consistent.
+                    true_abs = float(self._true_resnorm_fn(
+                        self.mg, self.a0_hi, xd, bd))
+                    true_rel = true_abs / sumb
+                    if true_rel < pars.tol or false_conv_left == 0:
+                        info.ares, info.rres = true_abs, true_rel
+                        stop = True
+                    else:
+                        false_conv_left -= 1
+                        absres0 = true_abs
+                        # heal the drift and keep iterating
+                        st, _ = self._accel_refresh_fn(
+                            self.mg, self.a0_hi, st, bd)
+                        if pars.verbose:
+                            self.log(
+                                "### WARNING: false convergence "
+                                f"(true relres {true_rel:.3e}); "
+                                "residual replaced, continuing.")
             if stop:
                 break
         info.solve_seconds = time.perf_counter() - t0

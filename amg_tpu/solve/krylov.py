@@ -227,6 +227,25 @@ def fcg_step(amul, prec, state, axis_name=None):
     return (x, r_new, z_new, p, rho_new), norm2(r_new, axis_name)
 
 
+def fcg_refresh(amul, prec, b, state, axis_name=None):
+    """Residual replacement: recompute ``r = b - A x`` from scratch.
+
+    The FCG recurrence's residual drifts from the true residual by
+    accumulated f64 rounding (~eps * kappa); at kappa ~ 1e9 (10M-row FEM
+    with 1e3 conductivity jumps) the recursive norm reached 3e-10 while
+    the true residual stalled at 6e-8.  Periodic replacement (and a
+    replacement before accepting convergence) bounds the gap — the
+    same defense as the reference CG's false-convergence Check III
+    (amg/Solve/SSS_cycle.cu:311-355).  Keeps the search direction (FCG's
+    Polak-Ribiere beta tolerates the perturbation).
+    """
+    x, r, z, p, rho = state
+    r = b - amul(x)
+    z = prec(r)
+    rho = dot(z, r, axis_name)
+    return (x, r, z, p, rho), norm2(r, axis_name)
+
+
 def fcg(a, b, x0, tol=1e-7, maxit=100, M=None, axis_name=None):
     """Flexible preconditioned CG under one ``lax.while_loop``.
 
@@ -247,6 +266,13 @@ def fcg(a, b, x0, tol=1e-7, maxit=100, M=None, axis_name=None):
     def body(c):
         st, it, absres = c
         st, absres = fcg_step(amul, prec, st, axis_name)
+        # periodic residual replacement, same cadence as the host-loop
+        # driver (fcg_refresh docstring: bounds recursive drift)
+        st, absres = jax.lax.cond(
+            (it + 1) % 10 == 0,
+            lambda s: fcg_refresh(amul, prec, b, s, axis_name),
+            lambda s: (s, norm2(s[1], axis_name)),
+            st)
         return (st, it + 1, absres)
 
     st, it, absres = jax.lax.while_loop(

@@ -106,7 +106,7 @@ def main():
     # BASELINE.md target: iterations to 1e-8 relative residual.  The cycles
     # run in `dtype` (f32 by default); mixed-precision defect correction
     # (f64 outer residual) carries the solve past the f32 precision floor.
-    tol = 1e-8
+    tol = float(os.environ.get("AMG_BENCH_TOL", "1e-8"))
     refine = dtype != "float64" and os.environ.get(
         "AMG_BENCH_REFINE", "1") == "1"
     # Chebyshev on coarse levels lets the fine-grid embedding reach deeper

@@ -894,7 +894,10 @@ def test_unstructured_well_solve():
     m = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
     true_rres = np.linalg.norm(b - m @ x) / np.linalg.norm(b)
     # true == internal residual proves the boundary permutation is exact
-    assert abs(true_rres - info.rres) / info.rres < 1e-6
+    # (absolute eps floor: with convergence-time residual replacement the
+    # reported rres is itself a true residual; two true residuals from
+    # different operators/summation orders differ ~1e-16 near eps)
+    assert abs(true_rres - info.rres) < 1e-6 * info.rres + 1e-15
 
 
 def test_unstructured_fem_graded_setup():
