@@ -765,8 +765,12 @@ def _embedded_level(
         gid = np.full(pad0, -1, dtype=np.int32)
         gid[rl] = gid_c[:n]
         gid_dev = jnp.asarray(gid)
-        gs_w = _gs_w_stack(gid, inv_diag.astype(np.dtype(dtype)),
-                           len(group_cf), dtype)
+        if l == 0:
+            # fused-GS weights for the hot fine level only: every
+            # embedded level shares the full pad0, so deeper gs_w
+            # stacks would each cost n_groups * pad0 * 4 B of HBM
+            gs_w = _gs_w_stack(gid, inv_diag.astype(np.dtype(dtype)),
+                               len(group_cf), dtype)
     else:
         group_cf = ()
         gid_dev = None
@@ -798,8 +802,13 @@ def _embedded_level(
 
 def _gs_w_stack(gid_np, inv_diag_np, n_groups, dtype):
     """Stacked fused-GS weights: w[g] = inv_diag where gid==g else 0.
-    Only built for small color counts (memory is n_groups * pad)."""
+    Only built for small color counts AND a bounded byte footprint
+    (n_groups * pad resident HBM — at 10M rows 8 colors would cost
+    320 MB per level, competing with the margins the format work
+    fights for)."""
     if n_groups == 0 or n_groups > 8:
+        return None
+    if n_groups * len(gid_np) * np.dtype(dtype).itemsize > 256e6:
         return None
     w = np.zeros((n_groups, len(gid_np)), dtype=np.dtype(dtype))
     for g in range(n_groups):

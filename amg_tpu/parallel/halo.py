@@ -313,12 +313,19 @@ def _well_apply(w, base_i32: jnp.ndarray, xw: jnp.ndarray, xrows: int,
                                  w.vals.dtype, xw.dtype)
     )
     if use_kernel:
-        fn = pallas_well._build(ngroups_l, w.n_slots, xrows,
-                                str(xw.dtype), str(w.vals.dtype),
-                                interpret=interpret)
-        return fn(jnp.zeros((1,), jnp.int32), base_i32.reshape(-1),
-                  xw.reshape(xrows, 128),
-                  w.loc, w.vals).reshape(ngroups_l * 1024)
+        x2d = xw.reshape(xrows, 128)
+        outs = []
+        # group-chunked like pallas_well.spmv: the prefetched base table
+        # must fit SMEM per call (review r5: the unchunked path would
+        # fail Mosaic compile on large sharded levels)
+        for s, cg in pallas_well._group_chunks(ngroups_l, w.n_slots):
+            fn = pallas_well._build(cg, w.n_slots, xrows,
+                                    str(xw.dtype), str(w.vals.dtype),
+                                    interpret=interpret)
+            outs.append(fn(jnp.asarray([s], dtype=jnp.int32),
+                           base_i32[s:s + cg].reshape(-1), x2d,
+                           w.loc, w.vals).reshape(cg * 1024))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     x2d = xw.reshape(xrows, 128)
     vals = w.vals
     if w.vals_lo is not None and jnp.dtype(xw.dtype) == jnp.float64:
@@ -369,7 +376,8 @@ def spmv_well_ring(w, x: jnp.ndarray, mesh: Mesh, axis: str = "x",
 
     specs = _WEll(P(axis, None, None, None), P(axis, None, None, None),
                   P(axis, None), w.shape, w.nnz, w.pad_cols,
-                  None if w.vals_lo is None else P(axis, None, None, None))
+                  None if w.vals_lo is None else P(axis, None, None, None),
+                  w.ring_plan)
     fn = shard_map(
         lambda wl, xl: well_spmv_ring_local(wl, xl, axis, n_shards,
                                             lo128, hi128,
@@ -465,8 +473,7 @@ def well_spmv_ring_local_df64(w, x64_local: jnp.ndarray, axis_name: str,
     ngroups_l = w.vals.shape[0]
 
     use_kernel = (pallas_well._platform() == "tpu" or interpret) \
-        and w.vals_lo is not None \
-        and ngroups_l * w.n_slots * 4 <= 900 * 1024
+        and w.vals_lo is not None
     if use_kernel:
         xh = x64_local.astype(jnp.float32)
         xl = (x64_local - xh.astype(jnp.float64)).astype(jnp.float32)
@@ -478,13 +485,18 @@ def well_spmv_ring_local_df64(w, x64_local: jnp.ndarray, axis_name: str,
                                   if p is not None])
             xl = jnp.concatenate([p for p in (ll, xl, rl)
                                   if p is not None])
-        fn = pallas_well._build_df64(ngroups_l, w.n_slots, xrows,
-                                     interpret=interpret)
-        yh, yl = fn(jnp.zeros((1,), jnp.int32), base_local.reshape(-1),
-                    xh.reshape(xrows, 128),
-                    xl.reshape(xrows, 128), w.loc, w.vals, w.vals_lo)
-        return (yh.astype(jnp.float64)
-                + yl.astype(jnp.float64)).reshape(ngroups_l * 1024)
+        xh2 = xh.reshape(xrows, 128)
+        xl2 = xl.reshape(xrows, 128)
+        outs = []
+        for s, cg in pallas_well._group_chunks(ngroups_l, w.n_slots):
+            fn = pallas_well._build_df64(cg, w.n_slots, xrows,
+                                         interpret=interpret)
+            yh, yl = fn(jnp.asarray([s], dtype=jnp.int32),
+                        base_local[s:s + cg].reshape(-1), xh2, xl2,
+                        w.loc, w.vals, w.vals_lo)
+            outs.append((yh.astype(jnp.float64)
+                         + yl.astype(jnp.float64)).reshape(cg * 1024))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     # off-TPU: exchange the f64 vector directly, apply at full precision
     offs = ((-lo,) if lo else ()) + ((hi,) if hi else ())
     if offs:

@@ -823,56 +823,16 @@ class SpmdAMGSolver:
         st, absres_d = self._accel_init_fn(self.mg, self._hi_vals, xd, bd)
         absres0 = float(absres_d)
         info.residuals.append(absres0)
-        check_every = 1 if pars.verbose else 4
-        refresh_every = 10
-        false_conv_left = 3
-        pending = []
-        xd = st[0]
-        stop = False
-        it = 0
-        while it < pars.max_it:
-            it += 1
-            st, absres_d = self._accel_step_fn(self.mg, self._hi_vals, st)
-            if it % refresh_every == 0:
-                st, absres_d = self._accel_refresh_fn(
-                    self.mg, self._hi_vals, st, bd)
-            pending.append((it, st[0], absres_d))
-            if len(pending) >= check_every or it == pars.max_it:
-                vals = np.asarray(jnp.stack([r for _, _, r in pending]))
-                converged = False
-                for (it_i, x_i, _), absres in zip(pending, vals):
-                    absres = float(absres)
-                    relres = absres / sumb
-                    if pars.verbose:
-                        print_itinfo(pars.stop_type, it_i, relres, absres,
-                                     absres / max(absres0, 1e-300))
-                    absres0 = absres
-                    if not np.isfinite(absres):
-                        stop = True
-                        break
-                    info.ares, info.rres, info.nits = absres, relres, it_i
-                    info.residuals.append(absres)
-                    xd = x_i
-                    if relres < pars.tol:
-                        converged = True
-                        break
-                pending = []
-                if converged and not stop:
-                    # verify on the exact stopping iterate (reference
-                    # Check III analog; see driver.solve_pcg)
-                    true_abs = float(self._true_resnorm_fn(
-                        self.mg, self._hi_vals, xd, bd))
-                    true_rel = true_abs / sumb
-                    if true_rel < pars.tol or false_conv_left == 0:
-                        info.ares, info.rres = true_abs, true_rel
-                        stop = True
-                    else:
-                        false_conv_left -= 1
-                        absres0 = true_abs
-                        st, _ = self._accel_refresh_fn(
-                            self.mg, self._hi_vals, st, bd)
-            if stop:
-                break
+        from ..solve.driver import fcg_host_loop
+
+        xd = fcg_host_loop(
+            pars, sumb, st, bd, absres0,
+            step=lambda s: self._accel_step_fn(self.mg, self._hi_vals, s),
+            refresh=lambda s: self._accel_refresh_fn(
+                self.mg, self._hi_vals, s, bd),
+            truenorm=lambda x: self._true_resnorm_fn(
+                self.mg, self._hi_vals, x, bd),
+            info=info)
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
         xh = fetch(xd)[:n]

@@ -320,15 +320,15 @@ def pmis_split_device(s: CSR, seed: int = 42) -> tuple[np.ndarray, int]:
     cols_t = jnp.asarray(st.indices, dtype=jnp.int32)
 
     key = jax.random.PRNGKey(seed)
-    # strictly unique measures: the f32 uniforms are multiples of 2^-24,
-    # so adding i * 2^-50 (< 2^-24 for any realistic n <= 67M) makes
-    # lam_i == lam_j imply i == j — the tie-deadlock fallback below can
-    # then never fire repeatedly (it used to resolve exact f32 collisions
-    # one node per round, O(n) rounds worst-case on adversarial ties)
-    lam = (jnp.asarray(indeg)
-           + jax.random.uniform(key, (n,), dtype=jnp.float32
-                                ).astype(jnp.float64)
-           + jnp.arange(n, dtype=jnp.float64) * (2.0 ** -50))
+    # strictly unique measures: the random tie-breaker is a PERMUTATION
+    # of (i + 0.5)/n — distinct values spaced 1/n apart, far above the
+    # f64 ulp of any indeg (<= 2^-43 even at indeg ~1000), so
+    # lam_i == lam_j implies i == j and the tie-deadlock fallback below
+    # cannot fire repeatedly.  (An additive i*2^-50 perturbation was
+    # tried first, but it rounds away whenever indeg + u >= 8; plain f32
+    # uniforms collide birthday-style at ~n^2/2^25 pairs.)
+    u = (jax.random.permutation(key, n).astype(jnp.float64) + 0.5) / n
+    lam = jnp.asarray(indeg) + u
 
     vec0 = np.full(n, UNPT, dtype=np.int32)
     isolated = s.indptr[1:] == s.indptr[:-1]

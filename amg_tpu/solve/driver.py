@@ -51,6 +51,84 @@ def print_itinfo(stop_type, it, relres, absres, factor, log=print):
         log("%6d | %13.6e   | %13.6e  |     -.-- " % (it, relres, absres))
 
 
+def fcg_host_loop(pars, sumb, st, bd, absres0, step, refresh, truenorm,
+                 info, log=print):
+    """Shared FCG host loop: batched residual fetches, periodic residual
+    replacement, and a truth check on the exact stopping iterate before
+    accepting convergence (reference false-convergence Check III,
+    amg/Solve/SSS_cycle.cu:311-355).  Used by the single-chip and the
+    shard_map solvers so the stopping semantics stay single-sourced.
+
+    ``step(st) -> (st, absres)``; ``refresh(st) -> (st, absres)`` replaces
+    the recursive residual with ``b - A x``; ``truenorm(x) -> absres``.
+    Mutates ``info``; returns the device solution.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    check_every = 1 if pars.verbose else 4
+    refresh_every = 10
+    false_conv_left = 3
+    pending: list = []  # (it, device x, device absres)
+    xd = st[0]
+    stop = False
+    it = 0
+    while it < pars.max_it:
+        it += 1
+        st, absres_d = step(st)
+        if it % refresh_every == 0:
+            st, absres_d = refresh(st)
+        pending.append((it, st[0], absres_d))
+        if len(pending) >= check_every or it == pars.max_it:
+            batch = jnp.stack([r for _, _, r in pending])
+            vals = np.asarray(batch)  # one sync for the whole batch
+            converged = False
+            for (it_i, x_i, _), absres in zip(pending, vals):
+                absres = float(absres)
+                relres = absres / sumb
+                factor = absres / absres0 if absres0 > 0 else 0.0
+                absres0 = absres
+                if pars.verbose:
+                    print_itinfo(pars.stop_type, it_i, relres, absres,
+                                 factor, log=log)
+                if not np.isfinite(absres):
+                    if pars.verbose:
+                        log("### WARNING: residual diverged "
+                            f"(iteration {it_i}); stopping.")
+                    stop = True
+                    break
+                info.ares, info.rres, info.nits = absres, relres, it_i
+                info.residuals.append(absres)
+                xd = x_i
+                if relres < pars.tol:
+                    converged = True
+                    break
+            pending = []
+            if converged and not stop:
+                # verify on the exact stopping iterate: the recursive
+                # residual can flatter the truth by eps*kappa
+                true_abs = float(truenorm(xd))
+                true_rel = true_abs / sumb
+                if true_rel < pars.tol or false_conv_left == 0:
+                    info.ares, info.rres = true_abs, true_rel
+                    stop = True
+                else:
+                    false_conv_left -= 1
+                    # report the measured truth even if max_it exhausts
+                    # before the next check (never exit on a flattering
+                    # recursive value the truth check just disproved)
+                    info.ares, info.rres = true_abs, true_rel
+                    absres0 = true_abs
+                    st, _ = refresh(st)
+                    if pars.verbose:
+                        log("### WARNING: false convergence "
+                            f"(true relres {true_rel:.3e}); "
+                            "residual replaced, continuing.")
+        if stop:
+            break
+    return xd
+
+
 class AMGSolver:
     """Setup once, solve many times."""
 
@@ -423,73 +501,14 @@ class AMGSolver:
         # quiet mode batches residual fetches (a device->host sync costs
         # tens of ms through the remote-execution relay; dispatches are
         # cheap), same as :meth:`solve`
-        check_every = 1 if pars.verbose else 4
-        # residual replacement cadence: bound the recursive-residual
-        # drift (fcg_refresh docstring) without paying the extra A-apply
-        # every iteration
-        refresh_every = 10
-        false_conv_left = 3
-        pending: list = []  # (it, device x, device absres)
-        xd = st[0]
-        stop = False
-        it = 0
-        while it < pars.max_it:
-            it += 1
-            st, absres_d = self._accel_step_fn(self.mg, self.a0_hi, st)
-            if it % refresh_every == 0:
-                st, absres_d = self._accel_refresh_fn(
-                    self.mg, self.a0_hi, st, bd)
-            pending.append((it, st[0], absres_d))
-            if len(pending) >= check_every or it == pars.max_it:
-                batch = jnp.stack([r for _, _, r in pending])
-                vals = np.asarray(batch)  # one sync for the whole batch
-                converged = False
-                for (it_i, x_i, _), absres in zip(pending, vals):
-                    absres = float(absres)
-                    relres = absres / sumb
-                    factor = absres / absres0 if absres0 > 0 else 0.0
-                    absres0 = absres
-                    if pars.verbose:
-                        print_itinfo(pars.stop_type, it_i, relres, absres,
-                                     factor, log=self.log)
-                    if not np.isfinite(absres):
-                        if pars.verbose:
-                            self.log("### WARNING: residual diverged "
-                                     f"(iteration {it_i}); stopping.")
-                        stop = True
-                        break
-                    info.ares, info.rres, info.nits = absres, relres, it_i
-                    info.residuals.append(absres)
-                    xd = x_i
-                    if relres < pars.tol:
-                        converged = True
-                        break
-                pending = []
-                if converged and not stop:
-                    # verify before accepting: the recursive residual
-                    # can flatter the truth by eps*kappa (reference
-                    # Check III, amg/Solve/SSS_cycle.cu:311-355).  The
-                    # check runs on the exact stopping iterate xd, so the
-                    # returned x and reported rres stay consistent.
-                    true_abs = float(self._true_resnorm_fn(
-                        self.mg, self.a0_hi, xd, bd))
-                    true_rel = true_abs / sumb
-                    if true_rel < pars.tol or false_conv_left == 0:
-                        info.ares, info.rres = true_abs, true_rel
-                        stop = True
-                    else:
-                        false_conv_left -= 1
-                        absres0 = true_abs
-                        # heal the drift and keep iterating
-                        st, _ = self._accel_refresh_fn(
-                            self.mg, self.a0_hi, st, bd)
-                        if pars.verbose:
-                            self.log(
-                                "### WARNING: false convergence "
-                                f"(true relres {true_rel:.3e}); "
-                                "residual replaced, continuing.")
-            if stop:
-                break
+        xd = fcg_host_loop(
+            pars, sumb, st, bd, absres0,
+            step=lambda s: self._accel_step_fn(self.mg, self.a0_hi, s),
+            refresh=lambda s: self._accel_refresh_fn(
+                self.mg, self.a0_hi, s, bd),
+            truenorm=lambda x: self._true_resnorm_fn(
+                self.mg, self.a0_hi, x, bd),
+            info=info, log=self.log)
         info.solve_seconds = time.perf_counter() - t0
         info.setup_seconds = self.host_hierarchy.setup_seconds
         if pars.verbose:
