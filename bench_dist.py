@@ -121,14 +121,28 @@ def main():
     # preferred multi-chip path) | gspmd (sharding-annotated solver) |
     # spmd-cg (shard_map FCG wrap — the robust 10M-row mode)
     which = os.environ.get("AMG_DIST_SOLVER", "spmd")
+    # AMG_DIST_MATRIX=fem2d exercises the general sharded cycle
+    # (row-sharded WEll levels with ring P/R transfers) instead of the
+    # embedded-DIA cycle
+    mat_kind = os.environ.get("AMG_DIST_MATRIX", "poisson3d")
     for ndev in sizes:
-        n_side = max(int(round((rows_per_dev * ndev) ** (1.0 / 3.0))), 8)
-        a = amg.poisson3d(n_side)
+        if mat_kind == "fem2d":
+            from amg_tpu.io.generators import fem2d
+
+            a = fem2d(rows_per_dev * ndev, seed=7)
+        else:
+            n_side = max(int(round((rows_per_dev * ndev) ** (1.0 / 3.0))),
+                         8)
+            a = amg.poisson3d(n_side)
         pars = amg.AMGParams(
             tol=1e-8, dtype="float32", refine=True, verbose=0,
             coarse_smoother=SmootherType.CHEBYSHEV,
-            coarse_op_dtype="bfloat16",
-            accel="cg" if which == "spmd-cg" else "none",
+            coarse_op_dtype=("float32" if mat_kind == "fem2d"
+                             else "bfloat16"),
+            use_well="on" if mat_kind == "fem2d" else "auto",
+            well_min_rows=1024 if mat_kind == "fem2d" else 65536,
+            accel="cg" if (which == "spmd-cg" or mat_kind == "fem2d")
+            else "none",
         )
         mesh = make_mesh(ndev)
         t0 = time.perf_counter()
