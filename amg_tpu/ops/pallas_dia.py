@@ -470,11 +470,13 @@ def spmv(a, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return spmv_window(a, jnp.pad(x, (lo, hi)), interpret=interpret)
 
 
-def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Same kernel, but the caller supplies the already-haloed input
-    ``xw = [lo left-halo entries | x (padded_rows) | hi right-halo]`` —
-    the multi-chip entry point: a shard passes its neighbors' boundary
-    slices (from ``ppermute``) as the halos instead of zeros."""
+def _prep(a, xw):
+    """Shared window/operand staging for every kernel entry: pick the
+    tile, pad the haloed x so the last tile's window read stays in
+    bounds, and present the values in the kernel's blocked layout (an
+    apply-time reshape of a multi-GB operand materializes fully-tiled
+    copies — observed OOM at 10M rows — so hierarchy packing chooses the
+    blocked layout up front for wide bands)."""
     pad = a.padded_rows
     lo = max(-min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
@@ -485,30 +487,20 @@ def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     # last tile reads rows [(ntiles-1)*T128, ... + wrows)
     xp_len = (pad // tile - 1) * tile + wrows * 128
     xp = jnp.pad(xw, (0, xp_len - xw.shape[0])).reshape(-1, 128)
-    # blocked operators are already in the kernel's (nd, pad//128, 128)
-    # layout — an apply-time reshape of a multi-GB operand materializes
-    # fully-tiled copies (observed OOM at 10M rows), so hierarchy packing
-    # chooses the blocked layout up front for wide bands
-    vals3 = a.vals if a.vals.ndim == 3 \
-        else a.vals.reshape(len(a.offsets), pad // 128, 128)
-    fn = _build(tuple(a.offsets), pad, lo, hi, str(xw.dtype),
-                str(a.vals.dtype), interpret=interpret, tile=tile)
-    return fn(xp, vals3).reshape(pad)
-
-
-def _prep(a, xw):
-    pad = a.padded_rows
-    lo = max(-min(a.offsets), 0)
-    hi = max(max(a.offsets), 0)
-    tile = _pick_tile(len(a.offsets), lo, hi,
-                      jnp.dtype(a.vals.dtype).itemsize,
-                      jnp.dtype(xw.dtype).itemsize, pad) or TILE
-    wrows = _window_rows(lo, hi, tile)
-    xp_len = (pad // tile - 1) * tile + wrows * 128
-    xp = jnp.pad(xw, (0, xp_len - xw.shape[0])).reshape(-1, 128)
     vals3 = a.vals if a.vals.ndim == 3 \
         else a.vals.reshape(len(a.offsets), pad // 128, 128)
     return xp, vals3, tile, lo, hi, pad
+
+
+def spmv_window(a, xw: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Same kernel, but the caller supplies the already-haloed input
+    ``xw = [lo left-halo entries | x (padded_rows) | hi right-halo]`` —
+    the multi-chip entry point: a shard passes its neighbors' boundary
+    slices (from ``ppermute``) as the halos instead of zeros."""
+    xp, vals3, tile, lo, hi, pad = _prep(a, xw)
+    fn = _build(tuple(a.offsets), pad, lo, hi, str(xw.dtype),
+                str(a.vals.dtype), interpret=interpret, tile=tile)
+    return fn(xp, vals3).reshape(pad)
 
 
 def resid(a, x: jnp.ndarray, b: jnp.ndarray,
@@ -517,9 +509,9 @@ def resid(a, x: jnp.ndarray, b: jnp.ndarray,
     the accumulator, saving the separate XLA elementwise pass (which
     cannot fuse into a pallas_call) — ~12 B/row of HBM traffic per
     residual on the hot fine level."""
-    lo = max(-min(a.offsets), 0)
-    hi = max(max(a.offsets), 0)
-    xp, vals3, tile, lo, hi, pad = _prep(a, jnp.pad(x, (lo, hi)))
+    lo0 = max(-min(a.offsets), 0)
+    hi0 = max(max(a.offsets), 0)
+    xp, vals3, tile, lo, hi, pad = _prep(a, jnp.pad(x, (lo0, hi0)))
     b2 = jnp.pad(b, (0, pad - b.shape[0])).reshape(pad // 128, 128) \
         if b.shape[0] < pad else b[:pad].reshape(pad // 128, 128)
     fn = _build(tuple(a.offsets), pad, lo, hi, str(x.dtype),
@@ -536,9 +528,9 @@ def gs_update(a, x: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
     vs the unfused path (full SpMV + XLA select) this reads b and w but
     skips materializing Ax and re-reading x/gid/inv_diag: ~40% less HBM
     traffic per sweep on a 7-point level."""
-    lo = max(-min(a.offsets), 0)
-    hi = max(max(a.offsets), 0)
-    xp, vals3, tile, lo, hi, pad = _prep(a, jnp.pad(x, (lo, hi)))
+    lo0 = max(-min(a.offsets), 0)
+    hi0 = max(max(a.offsets), 0)
+    xp, vals3, tile, lo, hi, pad = _prep(a, jnp.pad(x, (lo0, hi0)))
 
     def as2d(v):
         v = jnp.pad(v, (0, pad - v.shape[0])) if v.shape[0] < pad \

@@ -472,8 +472,16 @@ def well_spmv_ring_local_df64(w, x64_local: jnp.ndarray, axis_name: str,
                           jnp.int32(max(xrows - 8, 0)))
     ngroups_l = w.vals.shape[0]
 
+    # same VMEM-fit gate as the single-chip usable_df64: two x planes
+    # + double-buffered (loc, vals, vals_lo) slot tiles must fit, else
+    # fall through to the exact full-f64 XLA path below instead of
+    # failing Mosaic compile
+    ngl = w.vals.shape[0]
+    tile_bytes = w.n_slots * 1024 * (2 + 4 + 4)
+    fits = (2 * xrows * 128 * 4 + 2 * 2 * tile_bytes + 8 * 1024
+            <= pallas_well._VMEM_BUDGET)
     use_kernel = (pallas_well._platform() == "tpu" or interpret) \
-        and w.vals_lo is not None
+        and w.vals_lo is not None and fits
     if use_kernel:
         xh = x64_local.astype(jnp.float32)
         xl = (x64_local - xh.astype(jnp.float64)).astype(jnp.float32)

@@ -241,6 +241,9 @@ def _cycle_local(mg, l, x, b, pars, ctol, E, axis, n_shards, m_local):
     repeats = 1 if l == 0 else max(pars.cycle_type, 1)
     pars_l = pars if (l == 0 or pars.coarse_smoother is None) \
         else pars.replace(smoother=pars.coarse_smoother)
+    if pars.poly_deg_schedule is not None:
+        sched = pars.poly_deg_schedule
+        pars_l = pars_l.replace(poly_deg=sched[min(l, len(sched) - 1)])
 
     for _ in range(repeats):
         x = _smooth_local(level, x, b, pars_l, pars.pre_iter, True,
@@ -350,6 +353,9 @@ def _cycle_general(mg, l, x, b, pars, ctol, Es, axis, ndev):
     repeats = 1 if l == 0 else max(pars.cycle_type, 1)
     pars_l = pars if (l == 0 or pars.coarse_smoother is None) \
         else pars.replace(smoother=pars.coarse_smoother)
+    if pars.poly_deg_schedule is not None:
+        sched = pars.poly_deg_schedule
+        pars_l = pars_l.replace(poly_deg=sched[min(l, len(sched) - 1)])
 
     for _ in range(repeats):
         x = _smooth_local(level, x, b, pars_l, pars.pre_iter, True,
@@ -571,60 +577,60 @@ class SpmdAMGSolver:
                                E, axis, ndev, m_local)
                 return e.astype(adt) * scale
 
-            def _accel_init_local(mg_l, hi_vals_l, x_l, b_l):
-                st = fcg_init(lambda v: _amul_local(mg_l, hi_vals_l, v),
-                              lambda r: _prec_local(mg_l, r),
-                              b_l, x_l, axis_name=axis)
-                return st, norm2(st[1], axis)
-
-            def _accel_step_local(mg_l, hi_vals_l, st):
-                return fcg_step(lambda v: _amul_local(mg_l, hi_vals_l, v),
-                                lambda r: _prec_local(mg_l, r),
-                                st, axis_name=axis)
-
-            def _accel_refresh_local(mg_l, hi_vals_l, st, b_l):
-                from ..solve.krylov import fcg_refresh
-
-                return fcg_refresh(
-                    lambda v: _amul_local(mg_l, hi_vals_l, v),
-                    lambda r: _prec_local(mg_l, r), b_l, st,
-                    axis_name=axis)
-
-            def _true_resnorm_local(mg_l, hi_vals_l, x_l, b_l):
-                return norm2(b_l - _amul_local(mg_l, hi_vals_l, x_l),
-                             axis)
-
             # placeholder when running the outer loop in f32 (amul then
             # reads the sharded hierarchy's own level-0 operator)
             self._hi_vals = self.a0_hi.vals if hi else jax.device_put(
                 jnp.zeros((1, self.pad), self.dtype),
                 NamedSharding(self.mesh, P(None, self.axis)))
-            hi_spec = P(None, self.axis)
-            st_specs = ((P(self.axis),) * 4 + (P(),))
-            self._accel_init_fn = jax.jit(shard_map(
-                _accel_init_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, P(self.axis), P(self.axis)),
-                out_specs=(st_specs, P()),
-                check_vma=False,
-            ))
-            self._accel_step_fn = jax.jit(shard_map(
-                _accel_step_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, st_specs),
-                out_specs=(st_specs, P()),
-                check_vma=False,
-            ))
-            self._accel_refresh_fn = jax.jit(shard_map(
-                _accel_refresh_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, st_specs, P(self.axis)),
-                out_specs=(st_specs, P()),
-                check_vma=False,
-            ))
-            self._true_resnorm_fn = jax.jit(shard_map(
-                _true_resnorm_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, P(self.axis), P(self.axis)),
-                out_specs=P(),
-                check_vma=False,
-            ))
+            self._wire_accel(specs, P(None, self.axis), _amul_local,
+                             _prec_local)
+
+    def _wire_accel(self, specs, hi_spec, amul_local, prec_local):
+        """Build the four jitted shard_map FCG entry points (init, step,
+        residual-replacement refresh, truth norm) — shared by the
+        embedded and general modes, whose only differences are the amul
+        and preconditioner callables."""
+        from jax import shard_map
+        from ..solve.krylov import fcg_init, fcg_step, fcg_refresh
+
+        axis = self.axis
+
+        def _init(mg_l, hi, x_l, b_l):
+            st = fcg_init(lambda v: amul_local(mg_l, hi, v),
+                          lambda r: prec_local(mg_l, r), b_l, x_l,
+                          axis_name=axis)
+            return st, norm2(st[1], axis)
+
+        def _step(mg_l, hi, st):
+            return fcg_step(lambda v: amul_local(mg_l, hi, v),
+                            lambda r: prec_local(mg_l, r), st,
+                            axis_name=axis)
+
+        def _refresh(mg_l, hi, st, b_l):
+            return fcg_refresh(lambda v: amul_local(mg_l, hi, v),
+                               lambda r: prec_local(mg_l, r), b_l, st,
+                               axis_name=axis)
+
+        def _truenorm(mg_l, hi, x_l, b_l):
+            return norm2(b_l - amul_local(mg_l, hi, x_l), axis)
+
+        st_specs = ((P(axis),) * 4 + (P(),))
+
+        def mk(f, ins, outs):
+            return jax.jit(shard_map(f, mesh=self.mesh, in_specs=ins,
+                                     out_specs=outs, check_vma=False))
+
+        self._accel_init_fn = mk(_init,
+                                 (specs, hi_spec, P(axis), P(axis)),
+                                 (st_specs, P()))
+        self._accel_step_fn = mk(_step, (specs, hi_spec, st_specs),
+                                 (st_specs, P()))
+        self._accel_refresh_fn = mk(_refresh,
+                                    (specs, hi_spec, st_specs, P(axis)),
+                                    (st_specs, P()))
+        self._true_resnorm_fn = mk(_truenorm,
+                                   (specs, hi_spec, P(axis), P(axis)),
+                                   P())
 
     def _init_general(self, mg, pars):
         """Wire the general sharded cycle (no embedding): levels 0..Es
@@ -733,28 +739,6 @@ class SpmdAMGSolver:
                                   Es, axis, ndev)
                 return e.astype(adt) * scale
 
-            def _accel_init_local(mg_l, hi_w, x_l, b_l):
-                st = fcg_init(lambda v: _amul_local(mg_l, hi_w, v),
-                              lambda r: _prec_local(mg_l, r),
-                              b_l, x_l, axis_name=axis)
-                return st, norm2(st[1], axis)
-
-            def _accel_step_local(mg_l, hi_w, st):
-                return fcg_step(lambda v: _amul_local(mg_l, hi_w, v),
-                                lambda r: _prec_local(mg_l, r),
-                                st, axis_name=axis)
-
-            def _accel_refresh_local(mg_l, hi_w, st, b_l):
-                from ..solve.krylov import fcg_refresh
-
-                return fcg_refresh(
-                    lambda v: _amul_local(mg_l, hi_w, v),
-                    lambda r: _prec_local(mg_l, r), b_l, st,
-                    axis_name=axis)
-
-            def _true_resnorm_local(mg_l, hi_w, x_l, b_l):
-                return norm2(b_l - _amul_local(mg_l, hi_w, x_l), axis)
-
             if hi:
                 self._hi_vals = self.a0_hi
                 hi_spec = _mat_specs(self.a0_hi, True, axis)
@@ -763,31 +747,7 @@ class SpmdAMGSolver:
                     jnp.zeros((1, self.pad), self.dtype),
                     NamedSharding(self.mesh, P(None, axis)))
                 hi_spec = P(None, axis)
-            st_specs = ((P(axis),) * 4 + (P(),))
-            self._accel_init_fn = jax.jit(shard_map(
-                _accel_init_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, P(axis), P(axis)),
-                out_specs=(st_specs, P()),
-                check_vma=False,
-            ))
-            self._accel_step_fn = jax.jit(shard_map(
-                _accel_step_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, st_specs),
-                out_specs=(st_specs, P()),
-                check_vma=False,
-            ))
-            self._accel_refresh_fn = jax.jit(shard_map(
-                _accel_refresh_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, st_specs, P(axis)),
-                out_specs=(st_specs, P()),
-                check_vma=False,
-            ))
-            self._true_resnorm_fn = jax.jit(shard_map(
-                _true_resnorm_local, mesh=self.mesh,
-                in_specs=(specs, hi_spec, P(axis), P(axis)),
-                out_specs=P(),
-                check_vma=False,
-            ))
+            self._wire_accel(specs, hi_spec, _amul_local, _prec_local)
 
     def solve_pcg(self, b, x0=None):
         """Distributed AMG-preconditioned flexible CG: psum dots, the
@@ -826,7 +786,7 @@ class SpmdAMGSolver:
         from ..solve.driver import fcg_host_loop
 
         xd = fcg_host_loop(
-            pars, sumb, st, bd, absres0,
+            pars, sumb, st, absres0,
             step=lambda s: self._accel_step_fn(self.mg, self._hi_vals, s),
             refresh=lambda s: self._accel_refresh_fn(
                 self.mg, self._hi_vals, s, bd),

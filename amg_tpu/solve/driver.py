@@ -51,7 +51,7 @@ def print_itinfo(stop_type, it, relres, absres, factor, log=print):
         log("%6d | %13.6e   | %13.6e  |     -.-- " % (it, relres, absres))
 
 
-def fcg_host_loop(pars, sumb, st, bd, absres0, step, refresh, truenorm,
+def fcg_host_loop(pars, sumb, st, absres0, step, refresh, truenorm,
                  info, log=print):
     """Shared FCG host loop: batched residual fetches, periodic residual
     replacement, and a truth check on the exact stopping iterate before
@@ -502,7 +502,7 @@ class AMGSolver:
         # tens of ms through the remote-execution relay; dispatches are
         # cheap), same as :meth:`solve`
         xd = fcg_host_loop(
-            pars, sumb, st, bd, absres0,
+            pars, sumb, st, absres0,
             step=lambda s: self._accel_step_fn(self.mg, self.a0_hi, s),
             refresh=lambda s: self._accel_refresh_fn(
                 self.mg, self.a0_hi, s, bd),
