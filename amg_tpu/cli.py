@@ -107,6 +107,16 @@ def build_argparser() -> argparse.ArgumentParser:
                          "cycle (fewest collectives; needs an embedded "
                          "hierarchy), gspmd = sharding-annotated solver; "
                          "auto tries spmd first")
+    ap.add_argument("--use-well", type=str, default=d.use_well,
+                    choices=["auto", "on", "off"],
+                    help="windowed-gather WEll format for large "
+                         "unstructured levels")
+    ap.add_argument("--transfer-dtype", type=str,
+                    default=d.transfer_op_dtype,
+                    choices=["same", "bfloat16"],
+                    help="P/R value-plane storage on WEll levels "
+                         "(bfloat16 halves them; the 10M-row HBM-fit "
+                         "knob)")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
                     help="capture a jax profiler trace of the solve to DIR")
     ap.add_argument("--quiet", action="store_true")
@@ -137,6 +147,8 @@ def params_from_args(args) -> AMGParams:
         refine=args.refine,
         refine_inner_cycles=args.refine_inner,
         accel=args.accel,
+        use_well=args.use_well,
+        transfer_op_dtype=args.transfer_dtype,
         verbose=0 if args.quiet else 1,
     )
 
