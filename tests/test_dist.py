@@ -403,3 +403,27 @@ def test_spmd_general_unstructured_solve():
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
     assert abs(i1.nits - i2.nits) <= 2
     np.testing.assert_allclose(x2, x1, rtol=1e-5, atol=1e-7)
+
+
+@requires_multidevice
+def test_well_ring_with_packed_ring_plan():
+    """spmv_well_ring accepts an operator packed WITH a precomputed
+    ring_plan (regression: the shard_map spec pytree omitted the plan
+    from its aux metadata and crashed on exactly the ring-aware packs
+    the wrapper serves)."""
+    import jax.numpy as jnp
+    from amg_tpu.io.generators import fem2d
+    from amg_tpu.sparse import WEll
+    from amg_tpu.ops.spmv import spmv
+    from amg_tpu.parallel.halo import spmv_well_ring
+
+    a = fem2d(6000, seed=7)
+    w = WEll.from_csr(a, dtype=jnp.float32, pad_rows_to=8 * 1024,
+                      pad_cols_to=8 * 1024, ring_devices=4)
+    assert w.ring_plan is not None
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        w.pad_cols).astype(np.float32))
+    want = np.asarray(spmv(w, x))[: w.padded_rows]
+    got = np.asarray(spmv_well_ring(w, x, make_mesh(4)))
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
