@@ -543,7 +543,7 @@ class Dia:
         cached = getattr(a, "_off_hist_cache", None)
         if cached is not None and cached[0] == a.nnz:
             return cached[1]
-        offs = a.indices.astype(np.int64) - a.row_indices
+        offs = a.indices - a.row_indices  # int64 result (row_indices i64)
         if len(offs):
             off_lo = int(offs.min())
             cnt = np.bincount(offs - off_lo)
